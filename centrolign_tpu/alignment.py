@@ -1,0 +1,191 @@
+"""Alignment representation, CIGAR emission, and graph fusion.
+
+An alignment is an (L, 2) int64 numpy array of aligned node-id pairs; -1 (GAP)
+marks a gap on that side. Column 0 indexes graph1, column 1 graph2. This
+mirrors the reference's ``std::vector<AlignedPair>`` (reference
+include/centrolign/alignment.hpp:34-50) as a struct-of-arrays.
+
+CIGAR conventions follow the reference (src/alignment.cpp:47-130): a pair with
+a gap on side 1 is 'I', a gap on side 2 is 'D', both present is 'M' (or '='/'X'
+for the explicit variant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .graph import BaseGraph
+from .modify_graph import SentinelTableau
+
+GAP = -1
+_I64 = np.int64
+
+
+def empty_alignment() -> np.ndarray:
+    return np.empty((0, 2), dtype=_I64)
+
+
+def swap_sides(alignment: np.ndarray) -> np.ndarray:
+    return alignment[:, ::-1].copy()
+
+
+def _run_length(ops: np.ndarray) -> str:
+    if len(ops) == 0:
+        return ""
+    change = np.flatnonzero(ops[1:] != ops[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(ops)]))
+    return "".join(f"{e - s}{chr(ops[s])}" for s, e in zip(starts, ends))
+
+
+def cigar(alignment: np.ndarray) -> str:
+    """Run-length CIGAR with M/I/D ops (reference src/alignment.cpp:47)."""
+    ops = np.where(
+        alignment[:, 0] == GAP,
+        ord("I"),
+        np.where(alignment[:, 1] == GAP, ord("D"), ord("M")),
+    ).astype(np.int32)
+    return _run_length(ops)
+
+
+def explicit_cigar(alignment: np.ndarray, labels1: np.ndarray, labels2: np.ndarray) -> str:
+    """CIGAR with =/X instead of M (reference src/alignment.cpp:84).
+
+    labels1/labels2 are the per-node label arrays of the two graphs (for the
+    two-sequence output path these are the leaf chain graphs including their
+    sentinel nodes; gaps/sentinels never appear as aligned pairs there).
+    """
+    a1, a2 = alignment[:, 0], alignment[:, 1]
+    ops = np.where(
+        a1 == GAP,
+        ord("I"),
+        np.where(
+            a2 == GAP,
+            ord("D"),
+            np.where(
+                labels1[np.where(a1 == GAP, 0, a1)] == labels2[np.where(a2 == GAP, 0, a2)],
+                ord("="),
+                ord("X"),
+            ),
+        ),
+    ).astype(np.int32)
+    return _run_length(ops)
+
+
+def score_alignment(labels1, labels2, alignment: np.ndarray, params) -> int:
+    """Score an explicit alignment under piecewise-affine params (min over
+    gap components per gap run), mirroring reference score_alignment
+    (alignment.hpp:73, src/alignment.cpp)."""
+    a1, a2 = alignment[:, 0], alignment[:, 1]
+    both = (a1 != GAP) & (a2 != GAP)
+    n_match = int(np.sum(both & (np.asarray(labels1)[a1] == np.asarray(labels2)[a2])))
+    n_mismatch = int(both.sum()) - n_match
+    score = params.match * n_match - params.mismatch * n_mismatch
+    # gap runs: consecutive rows with a gap on the same side
+    is_gap = ~both
+    if is_gap.any():
+        side = np.where(a1 == GAP, 1, 2)
+        idx = np.flatnonzero(is_gap)
+        # split runs where the gap side changes
+        splits = np.flatnonzero(np.diff(idx) != 1)
+        starts = np.concatenate(([0], splits + 1))
+        ends = np.concatenate((splits + 1, [len(idx)]))
+        for s, e in zip(starts, ends):
+            seg = idx[s:e]
+            # a contiguous gap region may mix sides; cost applies per side-run
+            sides = side[seg]
+            side_breaks = np.flatnonzero(np.diff(sides) != 0)
+            ss = np.concatenate(([0], side_breaks + 1))
+            ee = np.concatenate((side_breaks + 1, [len(seg)]))
+            for s2, e2 in zip(ss, ee):
+                glen = e2 - s2
+                score -= min(
+                    params.gap_open[pw] + params.gap_extend[pw] * glen
+                    for pw in range(len(params.gap_open))
+                )
+    return int(score)
+
+
+def fuse(dest: BaseGraph, source: BaseGraph,
+         dest_tab: SentinelTableau, source_tab: SentinelTableau,
+         alignment: np.ndarray) -> np.ndarray:
+    """Merge ``source`` into ``dest`` along the alignment (reference
+    fuse.hpp:46-180): label-equal aligned pairs merge into the dest node,
+    mismatched pairs become substitution edges, unmatched source nodes are
+    appended, then source edges and paths are translated in. Returns the
+    source->dest node translation array."""
+    V2 = source.node_size
+    trans = np.full(V2, -1, dtype=_I64)
+
+    a1, a2 = alignment[:, 0], alignment[:, 1]
+    both = (a1 != GAP) & (a2 != GAP)
+    lab_eq = np.zeros(len(alignment), dtype=bool)
+    if both.any():
+        lab_eq[both] = dest.labels[a1[both]] == source.labels[a2[both]]
+    matched = both & lab_eq
+    trans[a2[matched]] = a1[matched]
+
+    trans[source_tab.src_id] = dest_tab.src_id
+    trans[source_tab.snk_id] = dest_tab.snk_id
+
+    # append unmatched nodes in source-id order
+    unmatched = np.flatnonzero(trans == -1)
+    new_ids = dest.add_nodes(source.labels[unmatched])
+    trans[unmatched] = new_ids
+
+    # substitution edges: for each aligned mismatch at row i, connect into the
+    # dest backbone at the nearest non-gap-on-side-1 rows left and right
+    mismatch = both & ~lab_eq
+    if mismatch.any():
+        n = len(alignment)
+        has1 = a1 != GAP
+        idx = np.arange(n, dtype=_I64)
+        # nearest row with a side-1 node strictly to the right (-1 if none)
+        tmp = np.where(has1, idx, n)
+        nxt_incl = np.minimum.accumulate(tmp[::-1])[::-1]
+        nxt_right = np.concatenate((nxt_incl[1:], [np.int64(n)]))
+        nxt_right = np.where(nxt_right == n, -1, nxt_right)
+        # nearest row with a side-1 node strictly to the left (-1 if none)
+        tmp = np.where(has1, idx, -1)
+        prv_incl = np.maximum.accumulate(tmp)
+        prv_left = np.concatenate(([np.int64(-1)], prv_incl[:-1]))
+        ef, et = [], []
+        for i in np.flatnonzero(mismatch):
+            j = nxt_right[i]
+            if j != -1:
+                ef.append(trans[a2[i]])
+                et.append(a1[j])
+            j = prv_left[i]
+            if j != -1:
+                ef.append(a1[j])
+                et.append(trans[a2[i]])
+        if ef:
+            dest.add_edges(np.array(ef, dtype=_I64), np.array(et, dtype=_I64))
+
+    # translate remaining source edges, deduping against existing dest edges
+    sef, set_ = source.edges()
+    if len(sef):
+        tef, tet = trans[sef], trans[set_]
+        VD = dest.node_size
+        new_keys = tef * VD + tet
+        def_, det = dest.edges()
+        exist = def_ * VD + det
+        missing = ~np.isin(new_keys, exist)
+        # also dedup within the batch itself, keeping first occurrence,
+        # matching the reference's per-node membership check
+        uniq_keys, first_idx = np.unique(new_keys[missing], return_index=True)
+        order = np.sort(first_idx)
+        sel = np.flatnonzero(missing)[order]
+        # preserve (source-node-id, adjacency) order: the reference iterates
+        # source nodes in id order and their next() lists in insertion order.
+        # source.edges() is in global insertion order, so re-sort by CSR order
+        csr_order = np.lexsort((np.arange(len(sef))[sel], sef[sel]))
+        sel = sel[csr_order]
+        dest.add_edges(tef[sel], tet[sel])
+
+    # copy paths
+    for pid in range(source.path_size):
+        new_pid = dest.add_path(source.path_name(pid))
+        dest.extend_path_array(new_pid, trans[source.path(pid)])
+
+    return trans
