@@ -1,0 +1,219 @@
+"""Pallas TPU kernel for the skewed anti-diagonal Gotoh fill.
+
+Same math as ops.gotoh._gotoh_scan (bit-identical int32 DP + packed uint16
+backpointers), but as a single Pallas kernel: the grid walks chunks of
+anti-diagonals, DP state lives in VMEM scratch across grid steps, and each
+step runs a fori_loop over the diagonals of its chunk — so per-diagonal cost
+is pure VPU work instead of XLA scan overhead.
+
+Layout: lanes index the short side (+1); diagonals stream through a
+(CHUNK, W) backpointer output block per grid step. The score of the opt cell
+(V1, V2) is extracted on-device into an SMEM scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .align_params import MININF
+
+_NEG = np.int32(MININF)
+CHUNK = 128
+
+
+def _shift_lanes(x, fill=_NEG):
+    """out[., k] = x[., k-1]; out[., 0] = fill. x is (R, W) int32."""
+    rolled = pltpu.roll(x, shift=1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == 0, fill, rolled)
+
+
+def _make_kernel(npw: int, lane_is_i: bool, swap_pref: bool):
+    def kernel(scal_ref,           # SMEM: [V1, V2, match, mismatch, go..., ge...]
+               a_ref,              # VMEM (1, W) int32: lane-side labels
+               b_ref,              # VMEM (1, LB) int32: reversed other labels
+               bp_ref,             # out VMEM (CHUNK, W) int32 backpointers
+               score_ref,          # out SMEM (1, 1) int32
+               M1, M2, II, DD):    # scratch VMEM (1, W), (1, W), (npw, W), (npw, W)
+        c = pl.program_id(0)
+        W = a_ref.shape[1]
+        V1 = scal_ref[0]
+        V2 = scal_ref[1]
+        match = scal_ref[2]
+        mismatch = scal_ref[3]
+        other_len = V2 if lane_is_i else V1
+
+        @pl.when(c == 0)
+        def _init():
+            M1[:] = jnp.full_like(M1, _NEG)
+            M2[:] = jnp.full_like(M2, _NEG)
+            II[:] = jnp.full_like(II, _NEG)
+            DD[:] = jnp.full_like(DD, _NEG)
+            score_ref[0, 0] = 0
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        def body(k, _):
+            d = c * CHUNK + k
+            if lane_is_i:
+                i_vec, j_vec = lane, d - lane
+            else:
+                i_vec, j_vec = d - lane, lane
+            # unaligned dynamic slice of b: aligned 128-multiple load, then a
+            # dynamic lane rotation to shift off the remainder
+            off = jnp.maximum(W + other_len - d, 0)
+            base = (off // 128) * 128
+            rem = off - base
+            chunk = b_ref[:, pl.ds(base, W + 128)]
+            rolled = pltpu.roll(chunk, shift=(W + 128) - rem, axis=1)
+            bvec = rolled[:, :W]
+            score_vec = jnp.where(a_ref[:] == bvec, match, -mismatch)
+
+            Mrow1 = M1[:]
+            Mrow2 = M2[:]
+
+            in_matrix = (i_vec >= 0) & (i_vec <= V1) & (j_vec >= 0) & (j_vec <= V2)
+            i_pos = i_vec >= 1
+            j_pos = j_vec >= 1
+            corner = (i_vec == 0) & (j_vec == 0)
+
+            if lane_is_i:
+                M_up = _shift_lanes(Mrow1)
+                M_left = Mrow1
+                M_diag = _shift_lanes(Mrow2)
+            else:
+                M_up = Mrow1
+                M_left = _shift_lanes(Mrow1)
+                M_diag = _shift_lanes(Mrow2)
+
+            Mnew = jnp.where(in_matrix & i_pos & j_pos,
+                             M_diag + score_vec, _NEG)
+            bp = jnp.zeros((1, W), jnp.int32)
+            comps = []
+            for pw in range(npw):
+                go = scal_ref[4 + pw]
+                ge = scal_ref[4 + npw + pw]
+                Ipw = II[pl.ds(pw, 1), :]
+                Dpw = DD[pl.ds(pw, 1), :]
+                if lane_is_i:
+                    I_prev = _shift_lanes(Ipw)
+                    D_prev = Dpw
+                else:
+                    I_prev = Ipw
+                    D_prev = _shift_lanes(Dpw)
+                i_open_val = M_up - (go + ge)
+                Inew = jnp.maximum(i_open_val, I_prev - ge)
+                Inew = jnp.where(in_matrix & i_pos, Inew, _NEG)
+                d_open_val = M_left - (go + ge)
+                Dnew = jnp.maximum(d_open_val, D_prev - ge)
+                Dnew = jnp.where(in_matrix & j_pos, Dnew, _NEG)
+                II[pl.ds(pw, 1), :] = Inew
+                DD[pl.ds(pw, 1), :] = Dnew
+                Mnew = jnp.maximum(Mnew, jnp.maximum(Inew, Dnew))
+                bp = bp | ((Inew == i_open_val) & (Inew > _NEG)).astype(jnp.int32) << (3 + pw)
+                bp = bp | ((Dnew == d_open_val) & (Dnew > _NEG)).astype(jnp.int32) << (6 + pw)
+                if swap_pref:
+                    comps.append((Dnew, 2 + 2 * pw))
+                    comps.append((Inew, 1 + 2 * pw))
+                else:
+                    comps.append((Inew, 1 + 2 * pw))
+                    comps.append((Dnew, 2 + 2 * pw))
+
+            Mnew = jnp.where(corner, jnp.int32(0), Mnew)
+            Mnew = jnp.where(in_matrix, Mnew, _NEG)
+
+            code = jnp.zeros((1, W), jnp.int32)
+            for comp_val, comp_code in reversed(comps):
+                code = jnp.where(comp_val == Mnew, comp_code, code)
+            code = jnp.where(corner, 0, code)
+            bp = bp | code
+
+            bp_ref[pl.ds(k, 1), :] = bp
+            M2[:] = Mrow1
+            M1[:] = Mnew
+
+            # extract the opt score when this is the final real diagonal
+            @pl.when(d == V1 + V2)
+            def _():
+                last_lane = V1 if lane_is_i else V2
+                sel = jnp.where(lane == last_lane, Mnew, _NEG)
+                score_ref[0, 0] = jnp.max(sel)
+
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_diags", "W", "lane_is_i", "npw", "swap_pref"))
+def gotoh_fill_pallas(scalars, a, b, num_diags: int, W: int,
+                      lane_is_i: bool, npw: int, swap_pref: bool):
+    """Run the Pallas fill. scalars = [V1, V2, match, mismatch, go*, ge*]
+    (int32). Returns (bp (num_diags, W) int32, score (1,1) int32)."""
+    kernel = _make_kernel(npw, lane_is_i, swap_pref)
+    n_chunks = num_diags // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda c, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, W), lambda c, s: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, W), jnp.int32),
+            pltpu.VMEM((1, W), jnp.int32),
+            pltpu.VMEM((npw, W), jnp.int32),
+            pltpu.VMEM((npw, W), jnp.int32),
+        ],
+    )
+    bp, score = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_diags, W), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+    )(scalars, a.reshape(1, -1), b.reshape(1, -1))
+    return bp, score
+
+
+def gotoh_fill_device(seq1: np.ndarray, seq2: np.ndarray, params,
+                      swap_pref: bool = False):
+    """Device fill entry: returns (bp ndarray (num_diags, W) uint16-compatible,
+    score int, lane_is_i). Uses the same skew/bucketing as ops.gotoh."""
+    from .gotoh import _build_skew_inputs, _bucket
+
+    seq1 = np.asarray(seq1, dtype=np.int32)
+    seq2 = np.asarray(seq2, dtype=np.int32)
+    V1, V2 = len(seq1), len(seq2)
+    npw = params.num_pw
+    lane_is_i = V1 <= V2
+    W = _bucket((V1 if lane_is_i else V2) + 1, 128)
+    num_diags = _bucket(V1 + V2 + 1, CHUNK * 2)
+    a, b = _build_skew_inputs(seq1, seq2, lane_is_i, W, num_diags + 128)
+    scalars = np.array(
+        [V1, V2, params.match, params.mismatch,
+         *params.gap_open, *params.gap_extend], dtype=np.int32)
+    bp, score = gotoh_fill_pallas(
+        jnp.asarray(scalars), jnp.asarray(a), jnp.asarray(b),
+        num_diags, W, lane_is_i, npw, swap_pref)
+    return np.asarray(jax.device_get(bp)), int(jax.device_get(score)[0, 0]), lane_is_i
+
+
+def gotoh_align_pallas(seq1, seq2, params, swap_pref: bool = False):
+    from .gotoh import _traceback_bp
+
+    bp, score, lane_is_i = gotoh_fill_device(seq1, seq2, params, swap_pref)
+    aln = _traceback_bp(bp, len(seq1), len(seq2), lane_is_i, params.num_pw)
+    return aln, score
