@@ -1,0 +1,430 @@
+"""Anchor chaining: select a mutually-reachable, maximum-weight chain of
+match walks across the two graphs.
+
+Semantics follow the reference Anchorer (reference anchorer.hpp:127-2548):
+
+- anchors are (match set, walk1 idx, walk2 idx) triples; anchor weight is the
+  score function applied to (count1, count2, length, full_length)
+- chains must be strictly reachable in BOTH graphs between consecutive
+  anchors (reachability via the PathMerge oracle)
+- with global anchoring, the chain must connect a source pair (successors of
+  the source sentinels) to a sink pair (predecessors of the sink sentinels)
+  (anchorer.hpp:1050-1089)
+- with affine gap scoring, edges cost the best piecewise-affine component of
+  the measured gap |dist1 - dist2|, where dist is measured via chain indices
+  plus post-switch distances (anchorer.hpp:2551-2581); the scale multiplies
+  the gap penalty and is auto-calibrated by chaining once without gap costs
+  (estimate_score_scale, anchorer.hpp:998-1047)
+- the match-pair budget keeps whole match sets in decreasing full-length
+  weight order until max_num_match_pairs is reached (anchorer.hpp:1108-1173)
+
+This module implements the chain DP dense-vectorized over anchors x anchors
+(the semantics twin of the reference's exhaustive_chain_dp, anchorer.hpp:1342;
+the reference's sparse algorithms compute the same optimum). The dense
+formulation is also the shape that maps onto the TPU: reachability and gap
+matrices are plain gathers + elementwise max-plus sweeps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .score_function import ScoreFunction
+from .path_merge import PathMerge, PostSwitchDistances
+
+_I64 = np.int64
+_LOWEST = -np.inf
+
+
+@dataclass
+class Anchor:
+    """One chained anchor (reference anchor_t, anchorer.hpp:36-57)."""
+
+    walk1: np.ndarray
+    walk2: np.ndarray
+    count1: int
+    count2: int
+    full_length: int
+    score: float = 0.0
+    gap_before: int = 0
+    gap_after: int = 0
+    gap_score_before: float = 0.0
+    gap_score_after: float = 0.0
+    match_set: int = -1
+    idx1: int = -1
+    idx2: int = -1
+
+
+class ChainAlgorithm:
+    Exhaustive = 0
+    Sparse = 1
+    SparseAffine = 2
+
+
+@dataclass
+class Anchorer:
+    score_function: ScoreFunction = field(default_factory=ScoreFunction)
+    chaining_algorithm: int = ChainAlgorithm.SparseAffine
+    max_num_match_pairs: int = 1250000
+    gap_open: tuple = (1.25, 50.0, 5000.0)
+    gap_extend: tuple = (2.5, 0.1, 0.0015)
+    global_anchoring: bool = True
+    do_fill_in_anchoring: bool = True
+    split_matches_at_branchpoints: bool = True
+    autocalibrate_gap_penalties: bool = True
+
+    # ------------------------------------------------------------------
+
+    def anchor_weight(self, anchor: Anchor) -> float:
+        return self.score_function.anchor_weight(
+            anchor.count1, anchor.count2, len(anchor.walk1), anchor.full_length)
+
+    def anchor_chain(self, matches, graph1, graph2, tableau1, tableau2,
+                     xmerge1: PathMerge, xmerge2: PathMerge,
+                     masked_matches=None, override_scale=None):
+        """Top-level chaining (reference anchorer.hpp:958-996). ``matches``
+        may be reordered in place (budgeting)."""
+        scale = 1.0
+        if override_scale is not None:
+            scale = override_scale
+        elif (self.chaining_algorithm == ChainAlgorithm.SparseAffine
+              and self.autocalibrate_gap_penalties):
+            scale = self.estimate_score_scale(
+                matches, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2,
+                masked_matches=masked_matches)
+        return self._anchor_chain_global(
+            matches, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2,
+            self.chaining_algorithm, scale, masked_matches)
+
+    def estimate_score_scale(self, matches, graph1, graph2, tableau1, tableau2,
+                             xmerge1, xmerge2, masked_matches=None,
+                             chain_out=None) -> float:
+        """Chain once without gap penalties, then weight / anchored length
+        (reference anchorer.hpp:998-1047)."""
+        anchors = self._anchor_chain_global(
+            matches, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2,
+            ChainAlgorithm.Sparse, 1.0, masked_matches)
+        total_weight = sum(self.anchor_weight(a) for a in anchors)
+        total_length = sum(len(a.walk1) for a in anchors)
+        from .extractor import extract_graphs_between, source_sink_minmax
+        fill_in = extract_graphs_between(
+            anchors, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2)
+        for sub1, sub2 in fill_in:
+            fill_len = None
+            for sub in (sub1, sub2):
+                if sub.subgraph.node_size == 0:
+                    fill_len = 0
+                    break
+                d = source_sink_minmax(sub)[0]
+                fill_len = d if fill_len is None else min(fill_len, d)
+            total_length += fill_len
+        if chain_out is not None:
+            chain_out.extend(anchors)
+        return total_weight / total_length if total_length else 1.0
+
+    # ------------------------------------------------------------------
+
+    def _anchor_chain_global(self, matches, graph1, graph2, tableau1, tableau2,
+                             xmerge1, xmerge2, algorithm, scale,
+                             masked_matches):
+        if self.global_anchoring:
+            sources1 = graph1.next(tableau1.src_id)
+            sources2 = graph2.next(tableau2.src_id)
+            sinks1 = graph1.previous(tableau1.snk_id)
+            sinks2 = graph2.previous(tableau2.snk_id)
+        else:
+            sources1 = sources2 = sinks1 = sinks2 = None
+        # scale-adjusted budget (anchorer.hpp:1066-1068)
+        budget = min(
+            int(round((scale / self.score_function.score_scale)
+                      * self.max_num_match_pairs)),
+            self.max_num_match_pairs)
+        anchors = self._chain_core(
+            matches, graph1, graph2, xmerge1, xmerge2,
+            sources1, sources2, sinks1, sinks2, budget, algorithm, scale,
+            masked_matches)
+        # NOTE: fill_in_anchor_chain (anchorer.hpp:619-700) not yet built;
+        # tracked as a known gap for a later round.
+        return anchors
+
+    def _budget_matches(self, matches, budget, masked_matches):
+        """Greedy score-ordered budget to `budget` match pairs; reorders
+        `matches` in place like the reference (anchorer.hpp:1108-1173).
+        Returns number of usable match sets."""
+        total = sum(len(m.walks1) * len(m.walks2) for m in matches)
+        if total <= budget:
+            return len(matches)
+        sf = self.score_function
+        order = sorted(
+            range(len(matches)), key=lambda i: -sf.anchor_weight(
+                matches[i].count1, matches[i].count2, matches[i].full_length))
+        removed = 0
+        pairs_left = budget
+        for pos in range(len(order)):
+            i = order[pos]
+            m = matches[i]
+            if sf.anchor_weight(m.count1, m.count2, m.walks1.shape[1]) < 0.0:
+                removed += len(order) - pos
+                break
+            pc = len(m.walks1) * len(m.walks2)
+            if pairs_left >= pc:
+                pairs_left -= pc
+                order[pos - removed], order[pos] = order[pos], order[pos - removed]
+            else:
+                removed += 1
+        # reorder matches to match `order`
+        reordered = [matches[i] for i in order]
+        matches[:] = reordered
+        if masked_matches is not None:
+            index = {old: new for new, old in enumerate(order)}
+            remapped = {(index[s], i1, i2) for (s, i1, i2) in masked_matches}
+            masked_matches.clear()
+            masked_matches.update(remapped)
+        return len(matches) - removed
+
+    def _chain_core(self, matches, graph1, graph2, xmerge1, xmerge2,
+                    sources1, sources2, sinks1, sinks2, budget, algorithm,
+                    scale, masked_matches):
+        num_sets = self._budget_matches(matches, budget, masked_matches)
+        score_edges = algorithm == ChainAlgorithm.SparseAffine
+
+        # flatten anchors
+        set_idx, i1s, i2s = [], [], []
+        starts1, ends1, starts2, ends2, weights = [], [], [], [], []
+        sf = self.score_function
+        for si in range(num_sets):
+            m = matches[si]
+            w = sf.anchor_weight(m.count1, m.count2, m.walks1.shape[1],
+                                 m.full_length)
+            for a in range(len(m.walks1)):
+                for b in range(len(m.walks2)):
+                    if masked_matches and (si, a, b) in masked_matches:
+                        continue
+                    set_idx.append(si)
+                    i1s.append(a)
+                    i2s.append(b)
+                    starts1.append(m.walks1[a][0])
+                    ends1.append(m.walks1[a][-1])
+                    starts2.append(m.walks2[b][0])
+                    ends2.append(m.walks2[b][-1])
+                    weights.append(w)
+        n = len(set_idx)
+        if n == 0:
+            return []
+        starts1 = np.array(starts1, dtype=_I64)
+        ends1 = np.array(ends1, dtype=_I64)
+        starts2 = np.array(starts2, dtype=_I64)
+        ends2 = np.array(ends2, dtype=_I64)
+        weights = np.array(weights)
+
+        psd1 = psd2 = None
+        if score_edges:
+            psd1 = PostSwitchDistances(graph1, xmerge1)
+            psd2 = PostSwitchDistances(graph2, xmerge2)
+
+        # pre-gather per-anchor-start quantities (the "to" side of edges)
+        # table rows for every start node: (n, C)
+        pred_s1 = xmerge1.table[starts1]          # (n, C1)
+        pred_s2 = xmerge2.table[starts2]
+        # from-side chain info for every end node
+        head_e1 = xmerge1.path_head[ends1]
+        head_e2 = xmerge2.path_head[ends2]
+        idx_e1 = xmerge1.index_on[np.where(head_e1 == -1, 0, head_e1), ends1]
+        idx_e2 = xmerge2.index_on[np.where(head_e2 == -1, 0, head_e2), ends2]
+        if score_edges:
+            psv1 = np.where(psd1.distances == 0, np.int64(2**61),
+                            psd1.distances)[:, starts1].astype(np.float64)  # (C1, n)
+            psv2 = np.where(psd2.distances == 0, np.int64(2**61),
+                            psd2.distances)[:, starts2].astype(np.float64)
+            go = np.array(self.gap_open)[:, None]
+            ge = np.array(self.gap_extend)[:, None]
+
+        # initial / final weights
+        init_w = np.zeros(n)
+        fin_w = np.zeros(n)
+        if sources1 is not None:
+            init_w, fin_w = self._boundary_weights(
+                starts1, ends1, starts2, ends2, sources1, sources2,
+                sinks1, sinks2, xmerge1, xmerge2, psd1, psd2, scale,
+                score_edges)
+
+        # DP over anchors in a valid topological order of the anchor DAG
+        # (order by topological position of walk1 start; edges always go
+        # strictly forward in that order). Rows of the reachability/edge
+        # matrices are computed on the fly: O(n) memory instead of O(n^2).
+        topo1 = np.empty(graph1.node_size, dtype=_I64)
+        topo1[graph1.topological_order()] = np.arange(graph1.node_size)
+        order = np.argsort(topo1[starts1], kind="stable")
+
+        dp = init_w.copy()
+        backptr = np.full(n, -1, dtype=_I64)
+        min_score = 0.0
+        if sources1 is not None and sinks1 is not None and score_edges:
+            # the score of the empty chain (anchorer.hpp:1466-1481)
+            min_score = self._empty_chain_score(
+                sources1, sources2, sinks1, sinks2, xmerge1, xmerge2,
+                psd1, psd2, scale)
+        best_id, best_score = -1, min_score
+        for a in order:
+            a = int(a)
+            if dp[a] == _LOWEST:
+                continue
+            dp[a] += weights[a]
+            if fin_w[a] != _LOWEST and dp[a] + fin_w[a] > best_score:
+                best_id, best_score = a, dp[a] + fin_w[a]
+            # reachability row: ends[a] -> all starts, both graphs
+            if head_e1[a] == -1 or head_e2[a] == -1:
+                continue
+            r1 = pred_s1[:, head_e1[a]]
+            r2 = pred_s2[:, head_e2[a]]
+            reach_row = (r1 != -1) & (idx_e1[a] <= r1) & (r2 != -1) & (idx_e2[a] <= r2)
+            succ = np.flatnonzero(reach_row)
+            if len(succ) == 0:
+                continue
+            if score_edges:
+                ew = np.full(len(succ), _LOWEST)
+                for c1 in xmerge1.chains_on(ends1[a]):
+                    d1 = (pred_s1[succ, c1].astype(np.float64)
+                          + psv1[c1, succ] - float(xmerge1.index_on[c1, ends1[a]]))
+                    for c2 in xmerge2.chains_on(ends2[a]):
+                        d2 = (pred_s2[succ, c2].astype(np.float64)
+                              + psv2[c2, succ] - float(xmerge2.index_on[c2, ends2[a]]))
+                        gap = np.abs(d1 - d2)
+                        w = np.where(gap == 0, 0.0,
+                                     (-scale * (go + ge * gap)).max(axis=0))
+                        np.maximum(ew, w, out=ew)
+                cand = dp[a] + ew
+            else:
+                cand = dp[a] + np.zeros(len(succ))
+            upd = cand > dp[succ]
+            dp[succ[upd]] = cand[upd]
+            backptr[succ[upd]] = a
+        chain_ids = []
+        v = best_id
+        while v != -1:
+            chain_ids.append(v)
+            v = int(backptr[v])
+        chain_ids.reverse()
+
+        chain = []
+        for v in chain_ids:
+            m = matches[set_idx[v]]
+            chain.append(Anchor(
+                walk1=np.asarray(m.walks1[i1s[v]]),
+                walk2=np.asarray(m.walks2[i2s[v]]),
+                count1=m.count1, count2=m.count2,
+                full_length=m.full_length, match_set=set_idx[v],
+                idx1=i1s[v], idx2=i2s[v]))
+        for a in chain:
+            a.score = self.anchor_weight(a)
+        if score_edges:
+            self._annotate_gaps(chain, sources1, sources2, sinks1, sinks2,
+                                xmerge1, xmerge2, psd1, psd2, scale)
+        return chain
+
+    # ------------------------------------------------------------------
+
+    def _gap_measure(self, from1, to1, from2, to2, xmerge1, xmerge2,
+                     psd1, psd2):
+        """min |dist1 - dist2| (signed value of the best) over chain pairs,
+        mirroring edge_weight's measurement (anchorer.hpp:2551-2581).
+        Scalars."""
+        best_gap = None
+        for c1 in xmerge1.chains_on(from1):
+            d1 = int(xmerge1.table[to1, c1]) - int(xmerge1.index_on[c1, from1])
+            if psd1 is not None:
+                d1 += psd1.distance(to1, c1)
+            for c2 in xmerge2.chains_on(from2):
+                d2 = int(xmerge2.table[to2, c2]) - int(xmerge2.index_on[c2, from2])
+                if psd2 is not None:
+                    d2 += psd2.distance(to2, c2)
+                gap = d1 - d2
+                if best_gap is None or abs(gap) < abs(best_gap):
+                    best_gap = gap
+        return best_gap
+
+    def _edge_weight_scalar(self, from1, to1, from2, to2, xmerge1, xmerge2,
+                            psd1, psd2, scale):
+        best = _LOWEST
+        for c1 in xmerge1.chains_on(from1):
+            d1 = (int(xmerge1.table[to1, c1]) - int(xmerge1.index_on[c1, from1])
+                  + psd1.distance(to1, c1))
+            for c2 in xmerge2.chains_on(from2):
+                d2 = (int(xmerge2.table[to2, c2]) - int(xmerge2.index_on[c2, from2])
+                      + psd2.distance(to2, c2))
+                gap = abs(d1 - d2)
+                if gap == 0:
+                    best = max(best, 0.0)
+                else:
+                    for go, ge in zip(self.gap_open, self.gap_extend):
+                        best = max(best, -scale * (go + ge * gap))
+        return best
+
+    def _boundary_weights(self, starts1, ends1, starts2, ends2,
+                          sources1, sources2, sinks1, sinks2,
+                          xmerge1, xmerge2, psd1, psd2, scale, score_edges):
+        n = len(starts1)
+        init_w = np.full(n, _LOWEST)
+        fin_w = np.full(n, _LOWEST)
+        for s1 in sources1:
+            r1 = xmerge1.reachable_matrix(np.array([s1]), starts1)[0] | (starts1 == s1)
+            for s2 in sources2:
+                r2 = xmerge2.reachable_matrix(np.array([s2]), starts2)[0] | (starts2 == s2)
+                ok = r1 & r2
+                if not ok.any():
+                    continue
+                if score_edges:
+                    for v in np.flatnonzero(ok):
+                        w = self._edge_weight_scalar(
+                            s1, starts1[v], s2, starts2[v],
+                            xmerge1, xmerge2, psd1, psd2, scale)
+                        init_w[v] = max(init_w[v], w)
+                else:
+                    init_w[ok] = np.maximum(init_w[ok], 0.0)
+        for k1 in sinks1:
+            r1 = xmerge1.reachable_matrix(ends1, np.array([k1]))[:, 0] | (ends1 == k1)
+            for k2 in sinks2:
+                r2 = xmerge2.reachable_matrix(ends2, np.array([k2]))[:, 0] | (ends2 == k2)
+                ok = r1 & r2
+                if not ok.any():
+                    continue
+                if score_edges:
+                    for v in np.flatnonzero(ok):
+                        w = self._edge_weight_scalar(
+                            ends1[v], k1, ends2[v], k2,
+                            xmerge1, xmerge2, psd1, psd2, scale)
+                        fin_w[v] = max(fin_w[v], w)
+                else:
+                    fin_w[ok] = np.maximum(fin_w[ok], 0.0)
+        return init_w, fin_w
+
+    def _empty_chain_score(self, sources1, sources2, sinks1, sinks2,
+                           xmerge1, xmerge2, psd1, psd2, scale):
+        best = _LOWEST
+        for s1 in sources1:
+            for s2 in sources2:
+                for k1 in sinks1:
+                    for k2 in sinks2:
+                        best = max(best, self._edge_weight_scalar(
+                            s1, k1, s2, k2, xmerge1, xmerge2, psd1, psd2,
+                            scale))
+        return best
+
+    def _annotate_gaps(self, chain, sources1, sources2, sinks1, sinks2,
+                       xmerge1, xmerge2, psd1, psd2, scale):
+        """Record measured gaps and gap scores between consecutive anchors
+        (reference anchorer.hpp:2430-2470)."""
+        for i in range(len(chain) - 1):
+            a, b = chain[i], chain[i + 1]
+            gap = self._gap_measure(
+                a.walk1[-1], b.walk1[0], a.walk2[-1], b.walk2[0],
+                xmerge1, xmerge2, psd1, psd2)
+            w = self._edge_weight_scalar(
+                a.walk1[-1], b.walk1[0], a.walk2[-1], b.walk2[0],
+                xmerge1, xmerge2, psd1, psd2, scale)
+            a.gap_after = int(gap) if gap is not None else 0
+            a.gap_score_after = w
+            b.gap_before = int(gap) if gap is not None else 0
+            b.gap_score_before = w

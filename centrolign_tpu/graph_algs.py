@@ -47,6 +47,37 @@ def topological_order(graph) -> np.ndarray:
     return order
 
 
+def reference_topological_order(graph) -> np.ndarray:
+    """Kahn's algorithm with a LIFO stack, reproducing the reference's exact
+    node order (reference topological_order.hpp:12-60): initial sources pushed
+    in ascending id order, successors pushed in adjacency order; the stack is
+    popped from the back. Use this wherever downstream behavior depends on the
+    specific order (path projection, tie-breaking); use topological_order for
+    plain DP sweeps."""
+    V = graph.node_size
+    indeg = graph.in_degrees().copy()
+    indptr, indices = graph.next_csr()
+    # single-source unary chains have a unique topological order; the
+    # vectorized sweep is then exact and much faster
+    if (V and (np.diff(indptr) <= 1).all() and (indeg <= 1).all()
+            and int((indeg == 0).sum()) == 1):
+        return topological_order(graph)
+    stack = list(np.flatnonzero(indeg == 0))
+    order = np.empty(V, dtype=_I64)
+    pos = 0
+    while stack:
+        v = stack.pop()
+        order[pos] = v
+        pos += 1
+        for w in indices[indptr[v]:indptr[v + 1]]:
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                stack.append(int(w))
+    if pos != V:
+        raise ValueError("graph contains a cycle")
+    return order
+
+
 def topological_levels(graph) -> np.ndarray:
     """Longest-path depth of each node (level(v) > level(u) for every edge
     u->v). Nodes at equal level are mutually unreachable, which makes levels

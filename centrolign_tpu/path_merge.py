@@ -1,0 +1,144 @@
+"""Reachability oracle via path cover ("XMerge") and post-switch distances.
+
+Equivalent of the reference's PathMerge (reference path_merge.hpp:20-280):
+per-node, per-chain "last index on the chain that strictly precedes this
+node" table, computed as dense numpy matrices (which is also the layout the
+chaining device kernels consume). A sentinel pseudo-chain (src at 0, snk at
+1) is appended when a tableau is given.
+
+PostSwitchDistances is the D array of Chandra & Jain: min distance walked to
+reach a node after leaving a chain (reference post_switch_distances.hpp:16).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_I64 = np.int64
+MISSING = np.int64(-1)  # the reference uses UIntSize::max; -1 compares the
+                        # same way under our signed max-DP (missing < any)
+
+
+class PathMerge:
+    def __init__(self, graph, tableau=None):
+        V = graph.node_size
+        P = graph.path_size
+        extra = 1 if tableau is not None else 0
+        self.num_chains = P + extra
+        self.graph = graph
+
+        # index_on[p][v]: index of v on path p, or -1
+        self.index_on = np.full((self.num_chains, V), MISSING, dtype=_I64)
+        # path_head[v]: highest-indexed chain containing v (reference
+        # path_head semantics after its per-path overwrite loop), or -1
+        self.path_head = np.full(V, MISSING, dtype=_I64)
+        # table[v][p]: index of last node on chain p that strictly precedes v
+        self.table = np.full((V, self.num_chains), MISSING, dtype=_I64)
+
+        next_ptr, next_ind = graph.next_csr()
+        for p in range(P):
+            path = graph.path(p)
+            self.index_on[p][path] = np.arange(len(path))
+            self.path_head[path] = p
+            # seed: successors of path[i] get table[., p] = i
+            starts, ends = next_ptr[path], next_ptr[path + 1]
+            counts = ends - starts
+            if counts.sum():
+                from .graph_algs import _multi_range
+                targets = next_ind[_multi_range(starts, ends)]
+                idxs = np.repeat(np.arange(len(path)), counts)
+                # the largest path index wins (reference writes in order)
+                np.maximum.at(self.table[:, p], targets, idxs)
+
+        # DP along topological order: table[v] = max(table[v], table[prev])
+        order = graph.topological_order()
+        prev_ptr, prev_ind = graph.prev_csr()
+        for v in order:
+            ps = prev_ind[prev_ptr[v]:prev_ptr[v + 1]]
+            if len(ps):
+                self.table[v] = np.maximum(self.table[v],
+                                           self.table[ps].max(axis=0))
+
+        if tableau is not None:
+            pseudo = P
+            self.index_on[pseudo][tableau.src_id] = 0
+            self.index_on[pseudo][tableau.snk_id] = 1
+            self.path_head[tableau.src_id] = pseudo
+            self.path_head[tableau.snk_id] = pseudo
+            self.table[:, pseudo] = 0
+            self.table[tableau.src_id, pseudo] = MISSING
+        self.tableau = tableau
+
+    @property
+    def chain_size(self) -> int:
+        return self.num_chains
+
+    def chains_on(self, v: int) -> np.ndarray:
+        """All chains containing v, in the reference's order: path_head first
+        (the highest chain), then descending (reference builds the linked
+        list by per-path prepending, so it yields descending path ids)."""
+        on = np.flatnonzero(self.index_on[:, v] != MISSING)
+        return on[::-1]
+
+    def predecessor_index(self, v: int, p: int) -> int:
+        return int(self.table[v, p])
+
+    def reachable(self, from_id: int, to_id: int) -> bool:
+        cf = self.path_head[from_id]
+        if cf == MISSING:
+            return False
+        idx_from = self.index_on[cf, from_id]
+        last = self.table[to_id, cf]
+        return last != MISSING and idx_from <= last
+
+    def reachable_matrix(self, from_ids: np.ndarray, to_ids: np.ndarray) -> np.ndarray:
+        """Vectorized: out[i, j] = reachable(from_ids[i], to_ids[j])."""
+        cf = self.path_head[from_ids]
+        ok = cf != MISSING
+        cf_safe = np.where(ok, cf, 0)
+        idx_from = self.index_on[cf_safe, from_ids]
+        last = self.table[np.asarray(to_ids)[None, :], cf_safe[:, None]]
+        return ok[:, None] & (last != MISSING) & (idx_from[:, None] <= last)
+
+
+class PostSwitchDistances:
+    """distances[p][v] = min distance walked to reach v after leaving chain p
+    (reference post_switch_distances.hpp; 0 encodes 'none', query returns a
+    huge value for it)."""
+
+    HUGE = np.int64(2**62)
+
+    def __init__(self, graph, xmerge: PathMerge):
+        V = graph.node_size
+        C = xmerge.num_chains
+        self.distances = np.zeros((C, V), dtype=_I64)
+        order = graph.topological_order()
+        prev_ptr, prev_ind = graph.prev_csr()
+        index_on = xmerge.index_on  # (C, V)
+        table = xmerge.table        # (V, C)
+        for v in order:
+            ps = prev_ind[prev_ptr[v]:prev_ptr[v + 1]]
+            if not len(ps):
+                continue
+            pred = table[v]          # (C,)
+            row_v = self.distances[:, v]
+            done = np.zeros(C, dtype=bool)  # chains whose prev-scan broke
+            for u in ps:
+                onp = (index_on[:, u] == pred) & ~done
+                row_v[onp] = 1
+                done |= onp
+                # else-if branch: min-update through a prev with the same
+                # predecessor (the reference's 0-means-unset quirk included:
+                # a 0 distance at the prev contributes dist 1)
+                thru = (table[u] == pred) & ~done
+                cand = self.distances[:, u] + 1  # label_size == 1
+                upd = thru & ((row_v == 0) | (row_v > cand))
+                row_v[upd] = cand[upd]
+
+    def distance(self, v: int, p: int) -> int:
+        d = self.distances[p, v]
+        return int(d) if d != 0 else int(self.HUGE)
+
+    def distance_vec(self, vs: np.ndarray, ps: np.ndarray) -> np.ndarray:
+        d = self.distances[ps, vs]
+        return np.where(d == 0, self.HUGE, d)
