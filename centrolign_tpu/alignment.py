@@ -106,6 +106,62 @@ def score_alignment(labels1, labels2, alignment: np.ndarray, params) -> int:
     return int(score)
 
 
+def induced_pairwise_alignment(graph: BaseGraph, path_id1: int, path_id2: int) -> np.ndarray:
+    """Pairwise alignment induced by two embedded paths: positions sharing a
+    node align; equal-length double-gap runs up to 4 become mismatches
+    (reference src/alignment.cpp:125-228). Row values are *path positions*."""
+    path1 = graph.path(path_id1)
+    path2 = graph.path(path_id2)
+    index1 = np.full(graph.node_size, -1, dtype=_I64)
+    if len(np.unique(path1)) != len(path1):
+        raise ValueError("Cannot induce a colinear pairwise alignment from a "
+                         "sequence that follows cycles in the graph")
+    index1[path1] = np.arange(len(path1))
+
+    rows = []
+    j = 0
+    for i in range(len(path2)):
+        pos1 = index1[path2[i]]
+        if pos1 == -1:
+            rows.append((GAP, i))
+        else:
+            while j < pos1:
+                rows.append((j, GAP))
+                j += 1
+            rows.append((j, i))
+            j += 1
+    while j < len(path1):
+        rows.append((j, GAP))
+        j += 1
+
+    # consolidate equal-length double-gap runs (<= 4) into mismatches
+    out = []
+    i = 0
+    max_mismatch_size = 4
+    while i < len(rows):
+        if rows[i][0] != GAP and rows[i][1] != GAP:
+            out.append(rows[i])
+            i += 1
+            continue
+        j2 = i
+        gaps1 = gaps2 = 0
+        while j2 < len(rows) and (rows[j2][0] == GAP or rows[j2][1] == GAP):
+            gaps1 += rows[j2][0] == GAP
+            gaps2 += rows[j2][1] == GAP
+            j2 += 1
+        last1, last2 = (out[-1] if out else (-1, -1))
+        if gaps1 == gaps2 and gaps1 <= max_mismatch_size:
+            for n in range(gaps1):
+                out.append((last1 + n + 1, last2 + n + 1))
+        else:
+            for n in range(gaps2):
+                out.append((last1 + n + 1, GAP))
+            for n in range(gaps1):
+                out.append((GAP, last2 + n + 1))
+        i = j2
+    return np.array(out, dtype=_I64).reshape(-1, 2)
+
+
 def fuse(dest: BaseGraph, source: BaseGraph,
          dest_tab: SentinelTableau, source_tab: SentinelTableau,
          alignment: np.ndarray) -> np.ndarray:

@@ -219,6 +219,16 @@ class Anchorer:
         ends2 = np.array(ends2, dtype=_I64)
         weights = np.array(weights)
 
+        # fast path: both graphs are single chains (plus sentinel pseudo
+        # chain) -> the native O(n log^2 n) sweep DP
+        chain_ids = self._chain_native(
+            starts1, ends1, starts2, ends2, weights, xmerge1, xmerge2,
+            sources1, sources2, sinks1, sinks2, score_edges, scale)
+        if chain_ids is not None:
+            return self._assemble_chain(
+                chain_ids, matches, set_idx, i1s, i2s, starts1, starts2,
+                ends1, ends2, xmerge1, xmerge2, score_edges, scale)
+
         psd1 = psd2 = None
         if score_edges:
             psd1 = PostSwitchDistances(graph1, xmerge1)
@@ -322,6 +332,113 @@ class Anchorer:
         if score_edges:
             self._annotate_gaps(chain, sources1, sources2, sinks1, sinks2,
                                 xmerge1, xmerge2, psd1, psd2, scale)
+        return chain
+
+    # ------------------------------------------------------------------
+    # native chain-graph fast path
+
+    @staticmethod
+    def _chain_positions(xmerge, nodes):
+        """Indices of the nodes on the single real chain, or None if any node
+        is off-chain or the graph is not single-chain."""
+        if xmerge.num_chains != 2:
+            return None
+        idx = xmerge.index_on[0, nodes]
+        if (idx == -1).any():
+            return None
+        return idx
+
+    def _chain_native(self, starts1, ends1, starts2, ends2, weights,
+                      xmerge1, xmerge2, sources1, sources2, sinks1, sinks2,
+                      score_edges, scale):
+        """Dispatch to the native CDQ sweep when both graphs are single
+        chains; returns chain ids or None if not applicable."""
+        n = len(starts1)
+        if n < 256:
+            return None  # numpy DP is fine (and avoids native ties headaches)
+        for src in (sources1, sinks1, sources2, sinks2):
+            if src is not None and len(src) != 1:
+                return None
+        p1s = self._chain_positions(xmerge1, starts1)
+        p1e = self._chain_positions(xmerge1, ends1)
+        p2s = self._chain_positions(xmerge2, starts2)
+        p2e = self._chain_positions(xmerge2, ends2)
+        if any(p is None for p in (p1s, p1e, p2s, p2e)):
+            return None
+        try:
+            from .native import chain_dp_seq
+        except Exception:
+            return None
+
+        go = np.array(self.gap_open, dtype=np.float64)
+        ge = np.array(self.gap_extend, dtype=np.float64)
+
+        def gap_cost(gaps):
+            gaps = np.abs(gaps).astype(np.float64)
+            cost = (-scale * (go[:, None] + ge[:, None] * gaps[None, :])).max(axis=0)
+            return np.where(gaps == 0, 0.0, cost)
+
+        if sources1 is not None:
+            src_idx1 = int(xmerge1.index_on[0, sources1[0]])
+            src_idx2 = int(xmerge2.index_on[0, sources2[0]])
+            snk_idx1 = int(xmerge1.index_on[0, sinks1[0]])
+            snk_idx2 = int(xmerge2.index_on[0, sinks2[0]])
+            if score_edges:
+                init_w = gap_cost((p1s - src_idx1) - (p2s - src_idx2))
+                fin_w = gap_cost((snk_idx1 - p1e) - (snk_idx2 - p2e))
+                min_score = float(gap_cost(np.array(
+                    [(snk_idx1 - src_idx1) - (snk_idx2 - src_idx2)]))[0])
+            else:
+                init_w = np.zeros(n)
+                fin_w = np.zeros(n)
+                min_score = 0.0
+        else:
+            init_w = np.zeros(n)
+            fin_w = np.zeros(n)
+            min_score = 0.0
+
+        best, backptr, _dp = chain_dp_seq(
+            p1s, p1e, p2s, p2e, weights, init_w, fin_w, score_edges,
+            go, ge, scale, min_score)
+        chain_ids = []
+        v = best
+        while v != -1:
+            chain_ids.append(v)
+            v = int(backptr[v])
+        chain_ids.reverse()
+        return chain_ids
+
+    def _assemble_chain(self, chain_ids, matches, set_idx, i1s, i2s,
+                        starts1, starts2, ends1, ends2, xmerge1, xmerge2,
+                        score_edges, scale):
+        chain = []
+        for v in chain_ids:
+            m = matches[set_idx[v]]
+            chain.append(Anchor(
+                walk1=np.asarray(m.walks1[i1s[v]]),
+                walk2=np.asarray(m.walks2[i2s[v]]),
+                count1=m.count1, count2=m.count2,
+                full_length=m.full_length, match_set=set_idx[v],
+                idx1=i1s[v], idx2=i2s[v]))
+        for a in chain:
+            a.score = self.anchor_weight(a)
+        if score_edges and chain:
+            # gap annotations via the chain coordinate formulas
+            go = np.array(self.gap_open)
+            ge = np.array(self.gap_extend)
+            for i in range(len(chain) - 1):
+                a, b = chain[i], chain[i + 1]
+                d1 = (int(xmerge1.index_on[0, b.walk1[0]])
+                      - int(xmerge1.index_on[0, a.walk1[-1]]))
+                d2 = (int(xmerge2.index_on[0, b.walk2[0]])
+                      - int(xmerge2.index_on[0, a.walk2[-1]]))
+                gap = d1 - d2
+                w = 0.0 if gap == 0 else float(
+                    (-scale * (go + ge * abs(gap))).max())
+                a.gap_after = gap
+                a.gap_score_after = w
+                b.gap_before = gap
+                b.gap_score_before = w
         return chain
 
     # ------------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""Subproblem table and scheduler for the progressive MSA.
+
+Equivalent of the reference Execution (reference execution.hpp:19-99,
+src/execution.cpp): leaf subproblems are chain graphs with sentinels; the
+execution order is the smallest-subtree-first postorder of the internal guide
+tree nodes. The reference runs strictly serially; sibling subproblems are
+independent, which is the data-parallel axis the distributed scheduler in
+parallel/ exploits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .graph import BaseGraph
+from .modify_graph import SentinelTableau, make_base_graph, add_sentinels
+from .tree import Tree
+from . import logging as logmod
+
+
+@dataclass
+class Subproblem:
+    graph: BaseGraph = None
+    tableau: SentinelTableau = None
+    alignment: np.ndarray = None
+    name: str = ""
+    complete: bool = False
+
+
+class Execution:
+    def __init__(self, names_and_sequences, tree: Tree, suppress_logging=False):
+        sequences = list(names_and_sequences)
+        self.tree = tree
+        name_to_idx = {}
+        for i, (name, _) in enumerate(sequences):
+            if name in name_to_idx:
+                raise ValueError(f"FASTA contains duplicate name {name}")
+            name_to_idx[name] = i
+
+        leaf_ids = []
+        for name, _ in sequences:
+            if not tree.has_label(name):
+                raise ValueError(f"Guide tree does not include sequence {name}")
+            node_id = tree.get_id(name)
+            if not tree.is_leaf(node_id):
+                raise ValueError(f"Sequence {name} is not a leaf in the guide tree")
+            leaf_ids.append(node_id)
+        tree.prune(leaf_ids)
+        tree.compact()
+        tree.binarize()
+
+        logmod.log(logmod.Basic if not suppress_logging else logmod.Debug,
+                   "Initializing leaf subproblems.")
+
+        self.subproblems = [Subproblem() for _ in range(tree.node_size)]
+        for node_id in range(tree.node_size):
+            if tree.is_leaf(node_id):
+                name = tree.label(node_id)
+                seq = sequences[name_to_idx[name]][1]
+                sub = self.subproblems[node_id]
+                sub.graph = make_base_graph(name, seq)
+                sub.tableau = add_sentinels(sub.graph, 5, 6)
+                sub.name = name
+                sub.complete = True
+
+        self.execution_order = [
+            t for t in tree.small_first_postorder() if not tree.is_leaf(t)]
+        self.next_subproblem = 0
+
+    def finished(self) -> bool:
+        return self.next_subproblem >= len(self.execution_order)
+
+    def next(self):
+        node_id = self.execution_order[self.next_subproblem]
+        self.next_subproblem += 1
+        children = self.tree.get_children(node_id)
+        if len(children) != 2:
+            raise RuntimeError("Attempting execution with a tree that is not binary")
+        return (self.subproblems[node_id],
+                self.subproblems[children[0]],
+                self.subproblems[children[-1]])
+
+    def leaf_subproblems(self):
+        return [self.subproblems[t] for t in range(self.tree.node_size)
+                if self.tree.is_leaf(t)]
+
+    def root_subproblem(self) -> Subproblem:
+        return self.subproblems[self.tree.get_root()]
+
+    def leaf_subproblem(self, name: str) -> Subproblem:
+        return self.subproblems[self.tree.get_id(name)]
+
+    def leaf_descendents(self, node_id: int):
+        names = []
+        stack = [node_id]
+        while stack:
+            v = stack.pop()
+            if self.tree.is_leaf(v):
+                names.append(self.tree.label(v))
+            else:
+                stack.extend(self.tree.get_children(v))
+        return names
+
+    def subproblem_hash(self, node_id: int) -> str:
+        """Order-independent digest of the contained sequence names
+        (reference src/execution.cpp:190-203 uses a sum of per-name hashes;
+        we use XOR of sha1s, which has the same order-independence)."""
+        acc = 0
+        for name in self.leaf_descendents(node_id):
+            acc ^= int.from_bytes(hashlib.sha1(name.encode()).digest()[:8], "little")
+        return format(acc, "016x")
+
+    def independent_layers(self):
+        """Group the execution order into dependency layers: all subproblems
+        in one layer have completed children and are mutually independent —
+        the data-parallel unit for multi-host scheduling (the reference is
+        strictly serial; see SURVEY §2.8)."""
+        depth = {}
+        for t in self.tree.postorder():
+            if self.tree.is_leaf(t):
+                depth[t] = 0
+            else:
+                depth[t] = 1 + max(depth[c] for c in self.tree.get_children(t))
+        layers: dict[int, list[int]] = {}
+        for t in self.execution_order:
+            layers.setdefault(depth[t], []).append(t)
+        return [layers[d] for d in sorted(layers)]

@@ -50,14 +50,18 @@ class PathMerge:
                 # the largest path index wins (reference writes in order)
                 np.maximum.at(self.table[:, p], targets, idxs)
 
-        # DP along topological order: table[v] = max(table[v], table[prev])
-        order = graph.topological_order()
-        prev_ptr, prev_ind = graph.prev_csr()
-        for v in order:
-            ps = prev_ind[prev_ptr[v]:prev_ptr[v + 1]]
-            if len(ps):
-                self.table[v] = np.maximum(self.table[v],
-                                           self.table[ps].max(axis=0))
+        if not self._is_simple_chain(graph, tableau):
+            # DP along topological order: table[v] = max(table[v], table[prev])
+            order = graph.topological_order()
+            prev_ptr, prev_ind = graph.prev_csr()
+            for v in order:
+                ps = prev_ind[prev_ptr[v]:prev_ptr[v + 1]]
+                if len(ps):
+                    self.table[v] = np.maximum(self.table[v],
+                                               self.table[ps].max(axis=0))
+        # (for a pure chain+sentinel graph the seeding already yields the
+        # final table: each real node's only path predecessor feeds it
+        # directly, and sentinels carry no path indices)
 
         if tableau is not None:
             pseudo = P
@@ -68,6 +72,25 @@ class PathMerge:
             self.table[:, pseudo] = 0
             self.table[tableau.src_id, pseudo] = MISSING
         self.tableau = tableau
+
+    @staticmethod
+    def _is_simple_chain(graph, tableau) -> bool:
+        """True for a single-path chain wrapped in sentinels: node ids
+        path[0..n), edges exactly path-consecutive plus the two sentinel
+        edges. For these the topological DP is a no-op we can skip."""
+        if tableau is None or graph.path_size != 1:
+            return False
+        p = graph.path(0)
+        n = len(p)
+        if n + 2 != graph.node_size or graph.edge_count != n + 1:
+            return False
+        ef, et = graph.edges()
+        expect_f = np.concatenate((p[:-1], [tableau.src_id, p[-1]]))
+        expect_t = np.concatenate((p[1:], [p[0], tableau.snk_id]))
+        order1 = np.lexsort((et, ef))
+        order2 = np.lexsort((expect_t, expect_f))
+        return (np.array_equal(ef[order1], expect_f[order2])
+                and np.array_equal(et[order1], expect_t[order2]))
 
     @property
     def chain_size(self) -> int:

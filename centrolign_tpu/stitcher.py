@@ -1,0 +1,310 @@
+"""Stitch a partitioned anchor chain into a base-level alignment.
+
+Behavioral equivalent of the reference Stitcher (reference stitcher.hpp:27-370,
+src/stitcher.cpp):
+
+- anchors are copied verbatim; each between-anchor gap is aligned by a
+  size/shape-dispatched aligner (do_alignment, stitcher.hpp:237-370):
+  PO-POA for matrices <= min_wfa_size; the deletion-WFA regime for strongly
+  asymmetric gaps; (p)WFA for near-diagonal large gaps; greedy partial
+  alignment for unalignable gaps. Between-segment gaps only receive
+  deletion-shaped alignments (only_deletion_alns).
+- gap parameters are truncated to the components a gap of that size could
+  use (subalign, src/stitcher.cpp:24-78)
+- despecify_indel_breakpoints removes low-scoring anchors that pin the
+  placement of long indels (src/stitcher.cpp:115-311)
+
+The WFA-regime gaps are currently aligned with the exact PO-POA kernel
+instead of a wavefront heuristic: the score model is identical and the result
+is an (equal-or-better) optimum; a pruned-WFA device kernel is planned. The
+PO-POA path dispatches chain x chain gaps to the TPU Gotoh kernel and DAG
+gaps to the host oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .alignment import GAP, swap_sides
+from .extractor import (
+    SubGraphInfo, extract_graphs_between, extract_graphs_between_segments,
+    source_sink_minmax,
+)
+from .ops.align_params import AlignmentParams
+from .ops.aligners import pure_deletion_alignment, greedy_partial_alignment
+from .ops.popoa_ref import popoa
+
+_I64 = np.int64
+
+
+def translate_alignment(aln: np.ndarray, back1, back2) -> np.ndarray:
+    """Map subgraph node ids back to parent ids (reference src/alignment.cpp:26)."""
+    out = aln.copy()
+    if len(out) == 0:
+        return out
+    back1 = np.asarray(back1, dtype=_I64)
+    back2 = np.asarray(back2, dtype=_I64)
+    m1 = out[:, 0] != GAP
+    m2 = out[:, 1] != GAP
+    if len(back1):
+        out[m1, 0] = back1[out[m1, 0]]
+    if len(back2):
+        out[m2, 1] = back2[out[m2, 1]]
+    return out
+
+
+def _is_chain(sub: SubGraphInfo) -> bool:
+    g = sub.subgraph
+    if g.node_size == 0:
+        return False
+    if len(sub.sources) != 1 or len(sub.sinks) != 1:
+        return False
+    return (bool((g.out_degrees() <= 1).all())
+            and bool((g.in_degrees() <= 1).all())
+            and int((g.in_degrees() == 0).sum()) == 1)
+
+
+def _chain_order(sub: SubGraphInfo):
+    """Node order along a chain subgraph starting at its single source."""
+    from .graph_algs import topological_order
+    return topological_order(sub.subgraph)
+
+
+@dataclass
+class Stitcher:
+    alignment_params: AlignmentParams = field(default_factory=AlignmentParams)
+    max_trivial_size: int = 30000
+    min_wfa_size: int = 40000000
+    max_wfa_size: int = 75000000
+    max_wfa_ratio: float = 1.05
+    wfa_pruning_dist: int = 25
+    deletion_alignment_ratio: int = 8
+    deletion_alignment_short_max_size: int = 1500
+    deletion_alignment_long_min_size: int = 2000
+    min_indel_fuzz_length: int = 50
+    indel_fuzz_score_proportion: float = 0.001
+    # device dispatch: use the Pallas Gotoh kernel for chain x chain gaps at
+    # least this many DP cells (smaller gaps are faster on the host)
+    device_min_cells: int = 40000
+    use_device: bool = True
+
+    def stitch(self, anchor_segments, graph1, graph2, tableau1, tableau2,
+               xmerge1, xmerge2) -> np.ndarray:
+        within, between = extract_graphs_between_segments(
+            anchor_segments, graph1, graph2, tableau1, tableau2,
+            xmerge1, xmerge2)
+        assert len(within) + 1 == len(between)
+        stitched = []
+        for i in range(len(between)):
+            if i != 0:
+                segment_graphs = within[i - 1]
+                segment = anchor_segments[i - 1]
+                for j in range(len(segment)):
+                    if j != 0:
+                        pair = segment_graphs[j - 1]
+                        self._subalign(pair[0], pair[1], stitched, False)
+                    a = segment[j]
+                    stitched.append(np.stack([a.walk1, a.walk2], axis=1))
+            pair = between[i]
+            self._subalign(pair[0], pair[1], stitched, True)
+        if stitched:
+            return np.concatenate(stitched, axis=0)
+        return np.empty((0, 2), dtype=_I64)
+
+    def internal_stitch(self, anchor_chain, graph, xmerge) -> np.ndarray:
+        """(reference stitcher.hpp:208-234). Note the reference appends each
+        anchor first and the gap *before* it afterwards — the output row
+        order is anchor0, anchor1, gap01, anchor2, gap12, ...; internal_fuse
+        only consumes aligned pairs, so the order is immaterial, but we
+        replicate it."""
+        stitch_graphs = extract_graphs_between(
+            anchor_chain, graph, graph, None, None, xmerge, xmerge)
+        stitched = []
+        for i, a in enumerate(anchor_chain):
+            stitched.append(np.stack([a.walk1, a.walk2], axis=1))
+            if i != 0:
+                pair = stitch_graphs[i - 1]
+                self._subalign(pair[0], pair[1], stitched, False)
+        return np.concatenate(stitched, axis=0) if stitched else np.empty((0, 2), dtype=_I64)
+
+    # ------------------------------------------------------------------
+
+    def _subalign(self, ex1: SubGraphInfo, ex2: SubGraphInfo, stitched: list,
+                  only_deletion_alns: bool) -> None:
+        """(reference src/stitcher.cpp:24-78): truncate the gap parameters to
+        the components reachable at this gap size, align, translate."""
+        p = self.alignment_params
+        cutoffs = []
+        for i in range(1, len(p.gap_open)):
+            if p.gap_open[i - 1] > p.gap_open[i] or p.gap_extend[i - 1] < p.gap_extend[i]:
+                raise ValueError("Affine gap parameters must be increasing in "
+                                 "gap open and decreasing in gap extend")
+            diff_open = p.gap_open[i] - p.gap_open[i - 1]
+            diff_extend = p.gap_extend[i - 1] - p.gap_extend[i]
+            cutoffs.append((diff_open + diff_extend - 1) // diff_extend)
+        c = 0
+        while (c < len(cutoffs) and ex1.subgraph.node_size > cutoffs[c]
+               and ex2.subgraph.node_size > cutoffs[c]):
+            c += 1
+        params = p.truncated(c + 1)
+        aln = self._do_alignment(ex1, ex2, only_deletion_alns, params)
+        aln = translate_alignment(aln, ex1.back_translation, ex2.back_translation)
+        stitched.append(aln)
+
+    def _do_alignment(self, ex1, ex2, only_deletion_alns, params) -> np.ndarray:
+        """(reference stitcher.hpp:237-370)"""
+        V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
+        mat_size = (V1 + 1) * (V2 + 1)
+        if V2 == 0:
+            return pure_deletion_alignment(ex1.subgraph, ex1.sources, ex1.sinks, params)
+        if V1 == 0:
+            aln = pure_deletion_alignment(ex2.subgraph, ex2.sources, ex2.sinks, params)
+            return swap_sides(aln)
+        min1, max1 = source_sink_minmax(ex1)
+        min2, max2 = source_sink_minmax(ex2)
+        r = self.max_wfa_ratio
+        if mat_size <= self.min_wfa_size and (not only_deletion_alns or mat_size <= self.max_trivial_size):
+            return self._po_poa(ex1, ex2, params)
+        if (max1 * self.deletion_alignment_ratio <= min2
+                and max1 <= self.deletion_alignment_short_max_size
+                and min2 >= self.deletion_alignment_long_min_size):
+            # deletion-WFA regime: exact DP gives the same-or-better optimum
+            return self._po_poa(ex1, ex2, params)
+        if (max2 * self.deletion_alignment_ratio <= min1
+                and max2 <= self.deletion_alignment_short_max_size
+                and min1 >= self.deletion_alignment_long_min_size):
+            aln = self._po_poa(ex2, ex1, params, swapped=True)
+            return swap_sides(aln)
+        if (mat_size < self.max_wfa_size
+                and ((min2 * r >= min1 and min2 <= max1 * r)
+                     or (max2 * r >= min1 and max2 <= max1 * r)
+                     or (min1 * r >= min2 and min1 <= max2 * r)
+                     or (max1 * r >= min2 and max1 <= max2 * r))
+                and not only_deletion_alns):
+            return self._po_poa(ex1, ex2, params)
+        return greedy_partial_alignment(
+            ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
+            ex1.sinks, ex2.sinks, params)
+
+    def _po_poa(self, ex1, ex2, params, swapped: bool = False) -> np.ndarray:
+        V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
+        if (self.use_device and V1 * V2 >= self.device_min_cells
+                and _is_chain(ex1) and _is_chain(ex2)):
+            from .ops.gotoh_pallas import gotoh_align_pallas
+            order1 = _chain_order(ex1)
+            order2 = _chain_order(ex2)
+            # chain subgraph node ids may not be in order; remap through the
+            # chain order and back
+            s1 = ex1.subgraph.labels[order1].astype(np.int32)
+            s2 = ex2.subgraph.labels[order2].astype(np.int32)
+            try:
+                aln, _ = gotoh_align_pallas(s1, s2, params, swap_pref=swapped)
+            except Exception:
+                from .ops.gotoh import gotoh_align
+                aln, _ = gotoh_align(s1, s2, params, swap_pref=swapped)
+            out = aln.copy()
+            m1 = out[:, 0] != GAP
+            m2 = out[:, 1] != GAP
+            out[m1, 0] = order1[out[m1, 0]]
+            out[m2, 1] = order2[out[m2, 1]]
+            return out
+        aln, _ = popoa(ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
+                       ex1.sinks, ex2.sinks, params)
+        return aln
+
+    # ------------------------------------------------------------------
+
+    def despecify_indel_breakpoints(self, anchors: list) -> list:
+        """(reference src/stitcher.cpp:115-311). Returns the filtered list."""
+        partition = self._identify_despecification_partition(anchors)
+        removed = 0
+        d = 0
+        gap = 0
+        gap_score = 0.0
+        anchors = list(anchors)
+        for i in range(len(anchors)):
+            if (d < len(partition) and partition[d][0] <= i < partition[d][1]):
+                gap += anchors[i].gap_before
+                gap_score += anchors[i].gap_score_before
+                removed += 1
+            elif removed != 0:
+                anchors[i - removed] = anchors[i]
+            if d < len(partition) and i == partition[d][1]:
+                anchors[i - removed - 1].gap_after = gap
+                anchors[i - removed - 1].gap_score_after = gap_score
+                anchors[i - removed].gap_before = gap
+                anchors[i - removed].gap_score_before = gap_score
+                gap = 0
+                gap_score = 0.0
+                d += 1
+        if removed:
+            anchors = anchors[:len(anchors) - removed]
+        return anchors
+
+    def _identify_despecification_partition(self, anchors):
+        """(reference src/stitcher.cpp:115-263). DP over (excluded, included)
+        tuple values (num indels despecified, score bookkeeping, index); the
+        2D range-max query is done by linear scan over the narrow index
+        window."""
+        n = len(anchors)
+        if n == 0 or self.indel_fuzz_score_proportion <= 0.0:
+            return []
+        fuzz = self.indel_fuzz_score_proportion
+        search_limit = [(0, 0)] * n
+        prev_indel = -1
+        before_prev = -1
+        limits = []
+        for i in range(n):
+            if i != 0 and abs(anchors[i].gap_before) >= self.min_indel_fuzz_length:
+                before_prev = prev_indel
+                prev_indel = i
+            if before_prev != -1 and prev_indel != -1:
+                limits.append((before_prev + 1, min(i, prev_indel + 1)))
+            elif prev_indel != -1:
+                limits.append((min(1, i), min(prev_indel + 1, i)))
+            else:
+                limits.append((0, 0))
+        search_limit = limits
+
+        prefix = [0.0] * (n + 1)
+        for i in range(n):
+            prefix[i + 1] = prefix[i] + anchors[i].score
+        score_index_key = [-np.inf] * n
+        for i in range(1, n):
+            score_index_key[i] = prefix[i] + fuzz * anchors[i - 1].score
+
+        NEG = (-1, 0.0, 0)
+        dp = [(NEG, NEG) for _ in range(n + 1)]
+        bp = [-1] * (n + 1)
+        dp[0] = ((0, 0.0, 0), NEG)
+        # tree values: entry[j] = value tuple at index j with key
+        # score_index_key[j]; query: max value over j in [lo, hi) with
+        # score_index_key[j] >= score_query_key
+        tree_vals: list = [(0, 0.0, 0)] * n  # reference seeds every index
+        opt_idx = 0
+        for i in range(1, n):
+            excl = max(dp[i - 1][0], dp[i - 1][1])
+            incl = dp[i][1]
+            score_query_key = prefix[i] - fuzz * anchors[i].score
+            lo, hi = search_limit[i]
+            best = None
+            best_j = -1
+            for j in range(lo, hi):
+                if tree_vals[j] is not None and score_index_key[j] >= score_query_key:
+                    if best is None or tree_vals[j] > best:
+                        best = tree_vals[j]
+                        best_j = j
+            dpi_second = NEG
+            if best is not None:
+                dpi_second = (best[0] + 1,
+                              best[0] - prefix[i] + prefix[best_j],
+                              i)
+                bp[i] = best_j
+            dp[i] = (excl, dpi_second)
+            if dpi_second > dp[opt_idx][1]:
+                opt_idx = i
+            tree_vals[i] = (excl[0], excl[1], i)
+        from .partitioner import _shared_traceback
+        return _shared_traceback(dp, bp, opt_idx)
