@@ -63,6 +63,30 @@ class ChainAlgorithm:
     SparseAffine = 2
 
 
+class _PSDView:
+    """PostSwitchDistances-compatible view over a native (C, V) D array."""
+
+    HUGE = np.int64(2**62)
+
+    def __init__(self, distances):
+        self.distances = distances
+
+    def distance(self, v, p):
+        d = self.distances[p, v]
+        return int(d) if d != 0 else int(self.HUGE)
+
+
+def _native_psd(graph, xmerge):
+    try:
+        from .native import psd_build
+    except Exception:
+        return PostSwitchDistances(graph, xmerge)
+    p_ptr, p_ind = graph.prev_csr()
+    D = psd_build(graph.topological_order(), p_ptr, p_ind,
+                  xmerge.index_on, xmerge.table)
+    return _PSDView(D)
+
+
 @dataclass
 class Anchorer:
     score_function: ScoreFunction = field(default_factory=ScoreFunction)
@@ -224,15 +248,25 @@ class Anchorer:
         chain_ids = self._chain_native(
             starts1, ends1, starts2, ends2, weights, xmerge1, xmerge2,
             sources1, sources2, sinks1, sinks2, score_edges, scale)
+        general_native = False
+        if chain_ids is None and n >= 256:
+            # general path-covered DAGs: native sweep with canonical-chain
+            # trees (the reference's sparse DP structure)
+            chain_ids = self._chain_native_general(
+                graph1, graph2, starts1, ends1, starts2, ends2, weights,
+                xmerge1, xmerge2, sources1, sources2, sinks1, sinks2,
+                score_edges, scale)
+            general_native = chain_ids is not None
         if chain_ids is not None:
             return self._assemble_chain(
                 chain_ids, matches, set_idx, i1s, i2s, starts1, starts2,
-                ends1, ends2, xmerge1, xmerge2, score_edges, scale)
+                ends1, ends2, xmerge1, xmerge2, score_edges, scale,
+                general=general_native, graph1=graph1, graph2=graph2)
 
         psd1 = psd2 = None
         if score_edges:
-            psd1 = PostSwitchDistances(graph1, xmerge1)
-            psd2 = PostSwitchDistances(graph2, xmerge2)
+            psd1 = _native_psd(graph1, xmerge1)
+            psd2 = _native_psd(graph2, xmerge2)
 
         # pre-gather per-anchor-start quantities (the "to" side of edges)
         # table rows for every start node: (n, C)
@@ -408,9 +442,163 @@ class Anchorer:
         chain_ids.reverse()
         return chain_ids
 
+    def _chain_native_general(self, graph1, graph2, starts1, ends1,
+                              starts2, ends2, weights, xmerge1, xmerge2,
+                              sources1, sources2, sinks1, sinks2,
+                              score_edges, scale):
+        try:
+            from .native import chain_dp_general, psd_build
+        except Exception:
+            return None
+        n = len(starts1)
+        # canonical chain/index per node
+        chain1 = xmerge1.path_head
+        chain2 = xmerge2.path_head
+        idx1 = xmerge1.index_on[np.where(chain1 == -1, 0, chain1),
+                                np.arange(graph1.node_size)]
+        idx2 = xmerge2.index_on[np.where(chain2 == -1, 0, chain2),
+                                np.arange(graph2.node_size)]
+        topo1 = graph1.topological_order()
+
+        # chain node lists (incl. the sentinel pseudo chain, if present)
+        offs, nodes = [0], []
+        for p in range(graph1.path_size):
+            nodes.append(graph1.path(p))
+            offs.append(offs[-1] + len(nodes[-1]))
+        if xmerge1.num_chains > graph1.path_size:
+            tab = xmerge1.tableau
+            nodes.append(np.array([tab.src_id, tab.snk_id], dtype=_I64))
+            offs.append(offs[-1] + 2)
+        chain1_nodes = np.concatenate(nodes) if nodes else np.empty(0, dtype=_I64)
+        chain1_offsets = np.array(offs[:-1], dtype=_I64)
+
+        D1 = D2 = None
+        psdv1 = psdv2 = None
+        if score_edges:
+            p_ptr1, p_ind1 = graph1.prev_csr()
+            p_ptr2, p_ind2 = graph2.prev_csr()
+            D1 = psd_build(topo1, p_ptr1, p_ind1, xmerge1.index_on, xmerge1.table)
+            D2 = psd_build(graph2.topological_order(), p_ptr2, p_ind2,
+                           xmerge2.index_on, xmerge2.table)
+            psdv1 = np.where(D1 == 0, np.int64(2**61), D1)
+            psdv2 = np.where(D2 == 0, np.int64(2**61), D2)
+
+        go = np.array(self.gap_open, dtype=np.float64)
+        ge = np.array(self.gap_extend, dtype=np.float64)
+
+        init_w, fin_w, min_score = self._boundary_weights_vec(
+            starts1, ends1, starts2, ends2, sources1, sources2, sinks1,
+            sinks2, xmerge1, xmerge2, psdv1, psdv2, score_edges, scale)
+
+        best, backptr, _dp = chain_dp_general(
+            starts1, ends1, starts2, ends2, weights, init_w, fin_w,
+            topo1, chain1, idx1, xmerge1.table, D1, chain1_nodes,
+            chain1_offsets, chain2, idx2, xmerge2.table, D2,
+            score_edges, go, ge, scale, min_score)
+        chain_ids = []
+        v = best
+        while v != -1:
+            chain_ids.append(v)
+            v = int(backptr[v])
+        chain_ids.reverse()
+        return chain_ids
+
+    def _boundary_weights_vec(self, starts1, ends1, starts2, ends2,
+                              sources1, sources2, sinks1, sinks2,
+                              xmerge1, xmerge2, psdv1, psdv2,
+                              score_edges, scale):
+        """Vectorized source/sink boundary weights + empty-chain min score
+        (reference anchorer.hpp: initial/final weights + empty chain)."""
+        n = len(starts1)
+        if sources1 is None:
+            return np.zeros(n), np.zeros(n), 0.0
+        go = np.array(self.gap_open)[:, None]
+        ge = np.array(self.gap_extend)[:, None]
+
+        def gap_w(gaps):
+            gaps = np.abs(gaps).astype(np.float64)
+            w = (-scale * (go + ge * gaps[None, :])).max(axis=0)
+            return np.where(gaps == 0, 0.0, w)
+
+        init_w = np.full(n, _LOWEST)
+        fin_w = np.full(n, _LOWEST)
+        for s1 in sources1:
+            r1 = xmerge1.reachable_matrix(np.array([s1]), starts1)[0] | (starts1 == s1)
+            for s2 in sources2:
+                r2 = xmerge2.reachable_matrix(np.array([s2]), starts2)[0] | (starts2 == s2)
+                ok = r1 & r2
+                if not ok.any():
+                    continue
+                if not score_edges:
+                    init_w[ok] = np.maximum(init_w[ok], 0.0)
+                    continue
+                best = np.full(int(ok.sum()), _LOWEST)
+                sel = np.flatnonzero(ok)
+                for c1 in xmerge1.chains_on(s1):
+                    d1 = (xmerge1.table[starts1[sel], c1]
+                          + psdv1[c1, starts1[sel]]
+                          - int(xmerge1.index_on[c1, s1])).astype(np.float64)
+                    for c2 in xmerge2.chains_on(s2):
+                        d2 = (xmerge2.table[starts2[sel], c2]
+                              + psdv2[c2, starts2[sel]]
+                              - int(xmerge2.index_on[c2, s2])).astype(np.float64)
+                        np.maximum(best, gap_w(d1 - d2), out=best)
+                init_w[sel] = np.maximum(init_w[sel], best)
+        for k1 in sinks1:
+            r1 = xmerge1.reachable_matrix(ends1, np.array([k1]))[:, 0] | (ends1 == k1)
+            for k2 in sinks2:
+                r2 = xmerge2.reachable_matrix(ends2, np.array([k2]))[:, 0] | (ends2 == k2)
+                ok = r1 & r2
+                if not ok.any():
+                    continue
+                if not score_edges:
+                    fin_w[ok] = np.maximum(fin_w[ok], 0.0)
+                    continue
+                sel = np.flatnonzero(ok)
+                best = np.full(len(sel), _LOWEST)
+                # chains vary per end node: loop all chains with masks
+                on1 = xmerge1.index_on[:, ends1[sel]] != -1  # (C1, m)
+                on2 = xmerge2.index_on[:, ends2[sel]] != -1
+                for c1 in range(xmerge1.num_chains):
+                    if not on1[c1].any():
+                        continue
+                    d1 = (int(xmerge1.table[k1, c1]) + int(psdv1[c1, k1])
+                          - xmerge1.index_on[c1, ends1[sel]]).astype(np.float64)
+                    for c2 in range(xmerge2.num_chains):
+                        both = on1[c1] & on2[c2]
+                        if not both.any():
+                            continue
+                        d2 = (int(xmerge2.table[k2, c2]) + int(psdv2[c2, k2])
+                              - xmerge2.index_on[c2, ends2[sel]]).astype(np.float64)
+                        w = gap_w(d1 - d2)
+                        np.maximum(best, np.where(both, w, _LOWEST), out=best)
+                fin_w[sel] = np.maximum(fin_w[sel], best)
+        min_score = 0.0
+        if score_edges:
+            best = _LOWEST
+            for s1 in sources1:
+                for s2 in sources2:
+                    for k1 in sinks1:
+                        for k2 in sinks2:
+                            for c1 in xmerge1.chains_on(s1):
+                                d1 = (int(xmerge1.table[k1, c1])
+                                      + int(psdv1[c1, k1])
+                                      - int(xmerge1.index_on[c1, s1]))
+                                for c2 in xmerge2.chains_on(s2):
+                                    d2 = (int(xmerge2.table[k2, c2])
+                                          + int(psdv2[c2, k2])
+                                          - int(xmerge2.index_on[c2, s2]))
+                                    g = abs(d1 - d2)
+                                    v = 0.0 if g == 0 else float(
+                                        (-scale * (go + ge * g)).max())
+                                    best = max(best, v)
+            min_score = best
+        return init_w, fin_w, min_score
+
     def _assemble_chain(self, chain_ids, matches, set_idx, i1s, i2s,
                         starts1, starts2, ends1, ends2, xmerge1, xmerge2,
-                        score_edges, scale):
+                        score_edges, scale, general=False,
+                        graph1=None, graph2=None):
         chain = []
         for v in chain_ids:
             m = matches[set_idx[v]]
@@ -423,16 +611,25 @@ class Anchorer:
         for a in chain:
             a.score = self.anchor_weight(a)
         if score_edges and chain:
-            # gap annotations via the chain coordinate formulas
             go = np.array(self.gap_open)
             ge = np.array(self.gap_extend)
+            psd1 = psd2 = None
+            if general:
+                psd1 = _native_psd(graph1, xmerge1)
+                psd2 = _native_psd(graph2, xmerge2)
             for i in range(len(chain) - 1):
                 a, b = chain[i], chain[i + 1]
-                d1 = (int(xmerge1.index_on[0, b.walk1[0]])
-                      - int(xmerge1.index_on[0, a.walk1[-1]]))
-                d2 = (int(xmerge2.index_on[0, b.walk2[0]])
-                      - int(xmerge2.index_on[0, a.walk2[-1]]))
-                gap = d1 - d2
+                if general:
+                    gap = self._gap_measure(
+                        a.walk1[-1], b.walk1[0], a.walk2[-1], b.walk2[0],
+                        xmerge1, xmerge2, psd1, psd2)
+                    gap = int(gap) if gap is not None else 0
+                else:
+                    d1 = (int(xmerge1.index_on[0, b.walk1[0]])
+                          - int(xmerge1.index_on[0, a.walk1[-1]]))
+                    d2 = (int(xmerge2.index_on[0, b.walk2[0]])
+                          - int(xmerge2.index_on[0, a.walk2[-1]]))
+                    gap = d1 - d2
                 w = 0.0 if gap == 0 else float(
                     (-scale * (go + ge * abs(gap))).max())
                 a.gap_after = gap

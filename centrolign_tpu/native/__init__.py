@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -62,6 +62,28 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
     ]
+    lib.psd_build.restype = None
+    lib.psd_build.argtypes = [ctypes.c_int64, ctypes.c_int64] + \
+        [ctypes.POINTER(ctypes.c_int64)] * 6
+    lib.chain_dp_general.restype = ctypes.c_int64
+    lib.chain_dp_general.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return lib
 
@@ -94,6 +116,56 @@ def chain_dp_seq(s1, e1, s2, e2, w, init_w, fin_w, use_gap: bool,
     best = lib.chain_dp_seq(
         n, _ptr_i64(s1), _ptr_i64(e1), _ptr_i64(s2), _ptr_i64(e2),
         _ptr_f64(w), _ptr_f64(init_w), _ptr_f64(fin_w),
+        1 if use_gap else 0, len(go), _ptr_f64(go), _ptr_f64(ge),
+        float(scale), float(min_score), _ptr_i64(backptr), _ptr_f64(dp))
+    return int(best), backptr, dp
+
+
+def psd_build(topo_order, prev_indptr, prev_indices, index_on, table):
+    """Post-switch distances (C, V), 0 = none (reference semantics)."""
+    lib = get_lib()
+    C, V = index_on.shape
+    topo_order = np.ascontiguousarray(topo_order, dtype=np.int64)
+    prev_indptr = np.ascontiguousarray(prev_indptr, dtype=np.int64)
+    prev_indices = np.ascontiguousarray(prev_indices, dtype=np.int64)
+    index_on = np.ascontiguousarray(index_on, dtype=np.int64)
+    table = np.ascontiguousarray(table, dtype=np.int64)
+    out = np.zeros((C, V), dtype=np.int64)
+    lib.psd_build(V, C, _ptr_i64(topo_order), _ptr_i64(prev_indptr),
+                  _ptr_i64(prev_indices), _ptr_i64(index_on), _ptr_i64(table),
+                  _ptr_i64(out))
+    return out
+
+
+def chain_dp_general(s1, e1, s2, e2, w, init_w, fin_w,
+                     topo1, chain1, idx1, T1, D1, chain1_nodes, chain1_offsets,
+                     chain2, idx2, T2, D2,
+                     use_gap, go, ge, scale, min_score):
+    lib = get_lib()
+    n = len(s1)
+    V1, C1 = T1.shape
+    V2, C2 = T2.shape
+    arrs = {}
+    def i64(x, name):
+        arrs[name] = np.ascontiguousarray(x, dtype=np.int64)
+        return _ptr_i64(arrs[name])
+    def f64(x, name):
+        arrs[name] = np.ascontiguousarray(x, dtype=np.float64)
+        return _ptr_f64(arrs[name])
+    backptr = np.empty(n, dtype=np.int64)
+    dp = np.empty(n, dtype=np.float64)
+    if D1 is None:
+        D1 = np.zeros((C1, V1), dtype=np.int64)
+        D2 = np.zeros((C2, V2), dtype=np.int64)
+    go = np.ascontiguousarray(go, dtype=np.float64)
+    ge = np.ascontiguousarray(ge, dtype=np.float64)
+    best = lib.chain_dp_general(
+        n, i64(s1, "s1"), i64(e1, "e1"), i64(s2, "s2"), i64(e2, "e2"),
+        f64(w, "w"), f64(init_w, "iw"), f64(fin_w, "fw"),
+        V1, C1, i64(topo1, "t1o"), i64(chain1, "c1"), i64(idx1, "i1"),
+        i64(T1, "T1"), i64(D1, "D1"),
+        i64(chain1_nodes, "cn"), i64(chain1_offsets, "co"),
+        V2, C2, i64(chain2, "c2"), i64(idx2, "i2"), i64(T2, "T2"), i64(D2, "D2"),
         1 if use_gap else 0, len(go), _ptr_f64(go), _ptr_f64(ge),
         float(scale), float(min_score), _ptr_i64(backptr), _ptr_f64(dp))
     return int(best), backptr, dp
