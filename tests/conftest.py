@@ -2,7 +2,13 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
 # without TPU hardware (the driver separately dry-runs the multi-chip path).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if not _plat:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+elif "cpu" not in _plat.split(","):
+    # keep the configured platform primary, but make the 8-device virtual
+    # CPU mesh available for the sharding tests
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
