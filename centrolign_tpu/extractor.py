@@ -233,7 +233,8 @@ class StepIndex:
 def source_sink_minmax(extraction: SubGraphInfo):
     """(min, max) distance from the extraction's sources to its sinks
     (reference src/anchorer.cpp:14-23)."""
-    mind, maxd = minmax_distance(
+    from .native import minmax_distance as _native_minmax
+    mind, maxd = _native_minmax(
         extraction.subgraph, np.asarray(extraction.sources, dtype=_I64))
     lo, hi = np.iinfo(np.int64).max, -1
     for s in extraction.sinks:

@@ -122,7 +122,7 @@ class PathIndex:
     lcp: np.ndarray
 
     @classmethod
-    def build(cls, graphs, tableaus) -> "PathIndex":
+    def build(cls, graphs, tableaus, use_native: bool = True) -> "PathIndex":
         texts, ids, comps = [], [], []
         for gi, (graph, tab) in enumerate(zip(graphs, tableaus)):
             for pid in range(graph.path_size):
@@ -140,10 +140,14 @@ class PathIndex:
         text = np.concatenate(texts)
         idarr = np.concatenate(ids)
         comp = np.concatenate(comps)
-        sa = suffix_array_doubling(text)
-        isa = np.empty(len(sa), dtype=_I64)
-        isa[sa] = np.arange(len(sa))
-        lcp = lcp_kasai_doubling(text, sa)
+        if use_native:
+            from . import native
+            sa, isa, lcp = native.esa_build(text)
+        else:
+            sa = suffix_array_doubling(text)
+            isa = np.empty(len(sa), dtype=_I64)
+            isa[sa] = np.arange(len(sa))
+            lcp = lcp_kasai_doubling(text, sa)
         return cls(text, idarr, comp, sa, isa, lcp)
 
 
@@ -309,13 +313,28 @@ def walk_matches(index: PathIndex, b: int, e: int, length: int, num_comps: int):
     return comps, walks
 
 
+def find_minimal_rare_matches_native(index: PathIndex, max_count: int):
+    """Native (C++) minimal-rare-match enumeration; same results and order as
+    find_minimal_rare_matches."""
+    from . import native
+    rows = native.esa_minimal_rare_matches(
+        index.sa, index.isa, index.lcp,
+        index.comp[index.sa], index.ids[index.sa], max_count)
+    return [(int(b), int(e), int(L), np.array([c0, c1], dtype=_I64))
+            for (b, e, L, c0, c1) in rows]
+
+
 def find_matches(graph1, graph2, tableau1, tableau2, max_count: int,
-                 score_function=None) -> list[MatchSet]:
+                 score_function=None, use_native: bool = True) -> list[MatchSet]:
     """Top-level equivalent of PathMatchFinder::find_matches
     (match_finder.hpp:73-87,144-212): find minimal rare matches with positive
     anchor weight and walk them out into MatchSets."""
-    index = PathIndex.build([graph1, graph2], [tableau1, tableau2])
-    raw = find_minimal_rare_matches(index, 2, max_count)
+    index = PathIndex.build([graph1, graph2], [tableau1, tableau2],
+                            use_native=use_native)
+    if use_native:
+        raw = find_minimal_rare_matches_native(index, max_count)
+    else:
+        raw = find_minimal_rare_matches(index, 2, max_count)
     match_sets = []
     for (b, e, L, cnt) in raw:
         if score_function is not None:

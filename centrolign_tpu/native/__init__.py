@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -84,6 +84,36 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
     ]
+    lib.esa_build.restype = None
+    lib.esa_build.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.esa_minimal_rare_matches.restype = ctypes.c_int64
+    lib.esa_minimal_rare_matches.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    lib.topological_order_native.restype = None
+    lib.topological_order_native.argtypes = [ctypes.c_int64, I64P, I64P, I64P, I64P]
+    lib.minmax_distance_native.restype = None
+    lib.minmax_distance_native.argtypes = [
+        ctypes.c_int64, I64P, I64P, I64P, I64P,
+        ctypes.c_int64, I64P, I64P, I64P]
+    lib.popoa_align_native.restype = ctypes.c_int64
+    lib.popoa_align_native.argtypes = [
+        ctypes.c_int64, U8P, I64P, I64P, I64P, I64P,
+        ctypes.c_int64, U8P, I64P, I64P, I64P, I64P,
+        ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+        ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, I32P, I32P,
+        I64P, I64P]
     _lib = lib
     return lib
 
@@ -169,3 +199,110 @@ def chain_dp_general(s1, e1, s2, e2, w, init_w, fin_w,
         1 if use_gap else 0, len(go), _ptr_f64(go), _ptr_f64(ge),
         float(scale), float(min_score), _ptr_i64(backptr), _ptr_f64(dp))
     return int(best), backptr, dp
+
+
+def esa_build(text):
+    """SA + ISA + LCP via native SA-IS/Kasai. text int64, terminal 0 unique
+    minimum."""
+    lib = get_lib()
+    text = np.ascontiguousarray(text, dtype=np.int64)
+    n = len(text)
+    K = int(text.max()) + 1 if n else 1
+    sa = np.empty(n, dtype=np.int64)
+    isa = np.empty(n, dtype=np.int64)
+    lcp = np.zeros(n, dtype=np.int64)
+    lib.esa_build(n, _ptr_i64(text), K, _ptr_i64(sa), _ptr_i64(isa),
+                  _ptr_i64(lcp))
+    return sa, isa, lcp
+
+
+def esa_minimal_rare_matches(sa, isa, lcp, start_comp, start_id, max_count):
+    """Native minimal-rare-match enumeration (2 components). Returns an
+    (M, 5) int64 array of (sa_begin, sa_end, length, cnt0, cnt1) rows in
+    reference traversal order."""
+    lib = get_lib()
+    n = len(sa)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    isa = np.ascontiguousarray(isa, dtype=np.int64)
+    lcp = np.ascontiguousarray(lcp, dtype=np.int64)
+    start_comp = np.ascontiguousarray(start_comp, dtype=np.int8)
+    start_id = np.ascontiguousarray(start_id, dtype=np.int64)
+    cap = max(1024, n // 4)
+    while True:
+        out = np.empty((cap, 5), dtype=np.int64)
+        m = lib.esa_minimal_rare_matches(
+            n, _ptr_i64(sa), _ptr_i64(isa), _ptr_i64(lcp),
+            start_comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _ptr_i64(start_id), int(max_count), cap, _ptr_i64(out))
+        if m <= cap:
+            return out[:m]
+        cap = m
+
+
+def _ptr_u8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _csr64(pair):
+    ptr, ind = pair
+    return (np.ascontiguousarray(ptr, dtype=np.int64),
+            np.ascontiguousarray(ind, dtype=np.int64))
+
+
+def topological_order(graph):
+    """Native Kahn topological order."""
+    lib = get_lib()
+    V = graph.node_size
+    nptr, nind = _csr64(graph.next_csr())
+    pptr, pind = _csr64(graph.prev_csr())
+    out = np.empty(V, dtype=np.int64)
+    lib.topological_order_native(V, _ptr_i64(nptr), _ptr_i64(nind),
+                                 _ptr_i64(pptr), _ptr_i64(out))
+    return out
+
+
+def minmax_distance(graph, sources):
+    lib = get_lib()
+    V = graph.node_size
+    nptr, nind = _csr64(graph.next_csr())
+    pptr, pind = _csr64(graph.prev_csr())
+    sources = np.ascontiguousarray(sources, dtype=np.int64)
+    mind = np.empty(V, dtype=np.int64)
+    maxd = np.empty(V, dtype=np.int64)
+    lib.minmax_distance_native(V, _ptr_i64(nptr), _ptr_i64(nind),
+                               _ptr_i64(pptr), _ptr_i64(pind),
+                               len(sources), _ptr_i64(sources),
+                               _ptr_i64(mind), _ptr_i64(maxd))
+    return mind, maxd
+
+
+def popoa_align(graph1, graph2, sources1, sources2, sinks1, sinks2, params):
+    """Native PO-POA (fill + traceback), identical to ops.popoa_ref.popoa."""
+    lib = get_lib()
+    V1, V2 = graph1.node_size, graph2.node_size
+    lab1 = np.ascontiguousarray(graph1.labels, dtype=np.uint8)
+    lab2 = np.ascontiguousarray(graph2.labels, dtype=np.uint8)
+    n1ptr, n1ind = _csr64(graph1.next_csr())
+    p1ptr, p1ind = _csr64(graph1.prev_csr())
+    n2ptr, n2ind = _csr64(graph2.next_csr())
+    p2ptr, p2ind = _csr64(graph2.prev_csr())
+    s1 = np.ascontiguousarray(sources1, dtype=np.int64)
+    s2 = np.ascontiguousarray(sources2, dtype=np.int64)
+    k1 = np.ascontiguousarray(sinks1, dtype=np.int64)
+    k2 = np.ascontiguousarray(sinks2, dtype=np.int64)
+    go = np.ascontiguousarray(params.gap_open, dtype=np.int32)
+    ge = np.ascontiguousarray(params.gap_extend, dtype=np.int32)
+    out = np.empty((V1 + V2 + 2, 2), dtype=np.int64)
+    score = np.zeros(1, dtype=np.int64)
+    n = lib.popoa_align_native(
+        V1, _ptr_u8(lab1), _ptr_i64(n1ptr), _ptr_i64(n1ind),
+        _ptr_i64(p1ptr), _ptr_i64(p1ind),
+        V2, _ptr_u8(lab2), _ptr_i64(n2ptr), _ptr_i64(n2ind),
+        _ptr_i64(p2ptr), _ptr_i64(p2ind),
+        len(s1), _ptr_i64(s1), len(s2), _ptr_i64(s2),
+        len(k1), _ptr_i64(k1), len(k2), _ptr_i64(k2),
+        int(params.match), int(params.mismatch), len(go),
+        go.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ge.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _ptr_i64(out), _ptr_i64(score))
+    return out[:n].copy(), int(score[0])

@@ -217,3 +217,87 @@ def gotoh_align_pallas(seq1, seq2, params, swap_pref: bool = False):
     bp, score, lane_is_i = gotoh_fill_device(seq1, seq2, params, swap_pref)
     aln = _traceback_bp(bp, len(seq1), len(seq2), lane_is_i, params.num_pw)
     return aln, score
+
+
+# ---------------------------------------------------------------------------
+# On-device traceback: the D2H link is far slower than the kernel (measured
+# ~30 MB/s through the tunnel), so shipping the O(N^2) backpointer matrix
+# dominates wall-clock. Instead, chase the packed backpointers on device with
+# a lax.while_loop and transfer only the O(N) alignment pairs.
+
+
+@functools.partial(jax.jit, static_argnames=("lane_is_i", "npw", "cap"))
+def _traceback_bp_on_device(bp, V1, V2, lane_is_i: bool, npw: int, cap: int):
+    """Replicates gotoh._traceback_bp on device. Returns (pairs (cap, 2)
+    int32 filled from the END, count). GAP = -1."""
+
+    def cond(state):
+        i, j, comp, idx, out = state
+        return (i != 0) | (j != 0)
+
+    def body(state):
+        i, j, comp, idx, out = state
+        d = i + j
+        lane = i if lane_is_i else j
+        b = jax.lax.dynamic_slice(bp, (d, lane), (1, 1))[0, 0]
+
+        code = b & 0b111
+        # comp update when we're in the match state
+        odd = code % 2 == 1
+        new_comp = jnp.where(odd, (code + 1) // 2, -(code // 2))
+        comp_eff = jnp.where(comp == 0, new_comp, comp)
+
+        is_diag = (comp == 0) & (code == 0)
+        take_i = comp_eff > 0  # gap in graph2: emit (i-1, GAP)
+
+        pair = jnp.where(
+            is_diag, jnp.stack([i - 1, j - 1]),
+            jnp.where(take_i, jnp.stack([i - 1, jnp.int32(-1)]),
+                      jnp.stack([jnp.int32(-1), j - 1])))
+        out = jax.lax.dynamic_update_slice(out, pair[None], (idx, 0))
+
+        pw_i = comp_eff - 1
+        pw_d = -comp_eff - 1
+        i_closes = (b >> (3 + pw_i)) & 1
+        d_closes = (b >> (6 + pw_d)) & 1
+        comp_next = jnp.where(
+            is_diag, 0,
+            jnp.where(take_i,
+                      jnp.where(i_closes == 1, 0, comp_eff),
+                      jnp.where(d_closes == 1, 0, comp_eff)))
+        i_next = jnp.where(is_diag | take_i, i - 1, i)
+        j_next = jnp.where(is_diag | ~take_i, j - 1, j)
+        return (i_next, j_next, comp_next, idx - 1, out)
+
+    out0 = jnp.zeros((cap, 2), jnp.int32)
+    i0 = jnp.int32(V1)
+    j0 = jnp.int32(V2)
+    state = (i0, j0, jnp.int32(0), jnp.int32(cap - 1), out0)
+    i, j, comp, idx, out = jax.lax.while_loop(cond, body, state)
+    return out, cap - 1 - idx
+
+
+def gotoh_align_pallas_device_tb(seq1, seq2, params, swap_pref: bool = False):
+    """Pallas fill + on-device traceback; only the alignment comes back."""
+    from .gotoh import _build_skew_inputs, _bucket
+
+    seq1 = np.asarray(seq1, dtype=np.int32)
+    seq2 = np.asarray(seq2, dtype=np.int32)
+    V1, V2 = len(seq1), len(seq2)
+    npw = params.num_pw
+    lane_is_i = V1 <= V2
+    W = _bucket((V1 if lane_is_i else V2) + 1, 128)
+    num_diags = _bucket(V1 + V2 + 1, CHUNK * 2)
+    a, b = _build_skew_inputs(seq1, seq2, lane_is_i, W, num_diags + 128)
+    scalars = np.array(
+        [V1, V2, params.match, params.mismatch,
+         *params.gap_open, *params.gap_extend], dtype=np.int32)
+    bp, score = gotoh_fill_pallas(
+        jnp.asarray(scalars), jnp.asarray(a), jnp.asarray(b),
+        num_diags, W, lane_is_i, npw, swap_pref)
+    pairs, count = _traceback_bp_on_device(
+        bp, jnp.int32(V1), jnp.int32(V2), lane_is_i, npw, num_diags)
+    pairs = np.asarray(jax.device_get(pairs), dtype=np.int64)
+    count = int(jax.device_get(count))
+    aln = pairs[len(pairs) - count:]
+    return aln, int(jax.device_get(score)[0, 0])

@@ -34,7 +34,7 @@ from .extractor import (
 )
 from .ops.align_params import AlignmentParams
 from .ops.aligners import pure_deletion_alignment, greedy_partial_alignment
-from .ops.popoa_ref import popoa
+from .native import popoa_align as popoa_native
 
 _I64 = np.int64
 
@@ -68,7 +68,7 @@ def _is_chain(sub: SubGraphInfo) -> bool:
 
 def _chain_order(sub: SubGraphInfo):
     """Node order along a chain subgraph starting at its single source."""
-    from .graph_algs import topological_order
+    from .native import topological_order
     return topological_order(sub.subgraph)
 
 
@@ -192,7 +192,8 @@ class Stitcher:
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
         if (self.use_device and V1 * V2 >= self.device_min_cells
                 and _is_chain(ex1) and _is_chain(ex2)):
-            from .ops.gotoh_pallas import gotoh_align_pallas
+            from .ops.gotoh_pallas import (
+                gotoh_align_pallas_device_tb as gotoh_align_pallas)
             order1 = _chain_order(ex1)
             order2 = _chain_order(ex2)
             # chain subgraph node ids may not be in order; remap through the
@@ -210,8 +211,8 @@ class Stitcher:
             out[m1, 0] = order1[out[m1, 0]]
             out[m2, 1] = order2[out[m2, 1]]
             return out
-        aln, _ = popoa(ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
-                       ex1.sinks, ex2.sinks, params)
+        aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
+                              ex2.sources, ex1.sinks, ex2.sinks, params)
         return aln
 
     # ------------------------------------------------------------------

@@ -157,3 +157,41 @@ def test_find_matches_walks():
         s1 = g1.labels[ms.walks1[0]]
         for w in ms.walks2:
             assert np.array_equal(g2.labels[w], s1)
+
+
+# ---------------------------------------------------------------- native ---
+
+@pytest.mark.parametrize("trial", range(8))
+def test_native_esa_build_matches_python(trial):
+    from centrolign_tpu.native import esa_build
+    rng = np.random.default_rng(100 + trial)
+    n = int(rng.integers(2, 2000))
+    text = np.concatenate([rng.integers(1, int(rng.integers(3, 10)), size=n),
+                           [0]])
+    sa, isa, lcp = esa_build(text)
+    sa_py = suffix_array_doubling(text)
+    assert np.array_equal(sa, sa_py)
+    assert np.array_equal(isa[sa], np.arange(len(sa)))
+    assert np.array_equal(lcp, lcp_kasai_doubling(text, sa_py))
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_native_mrm_matches_python(trial):
+    from centrolign_tpu.match_finder import find_minimal_rare_matches_native
+    from conftest import random_low_entropy_sequence, mutate_sequence
+
+    rng = np.random.default_rng(200 + trial)
+    s1 = random_low_entropy_sequence(rng, int(rng.integers(100, 500)))
+    s2 = mutate_sequence(rng, s1, sub_rate=0.08, indel_rate=0.03)
+    g1 = make_base_graph("a", s1)
+    g2 = make_base_graph("b", s2)
+    t1 = add_sentinels(g1, 5, 6)
+    t2 = add_sentinels(g2, 7, 8)
+    max_count = int(rng.integers(3, 50))
+    idx = PathIndex.build([g1, g2], [t1, t2], use_native=False)
+    py = find_minimal_rare_matches(idx, 2, max_count)
+    nat = find_minimal_rare_matches_native(idx, max_count)
+    assert len(py) == len(nat)
+    for (pb, pe, pl, pc), (nb, ne, nl, nc) in zip(py, nat):
+        assert (pb, pe, pl) == (nb, ne, nl)
+        assert np.array_equal(pc, nc)
