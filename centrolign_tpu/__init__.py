@@ -12,6 +12,23 @@ into the reference source tree (see SURVEY.md).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: kernel shapes recur across runs, and a
+# cold compile through the TPU tunnel costs ~0.5s each.
+try:
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "CENTROLIGN_TPU_XLA_CACHE",
+        _os.path.expanduser("~/.cache/centrolign_tpu/xla"))
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # pragma: no cover - jax config API drift
+    pass
+
 from .graph import BaseGraph
 from .alignment import GAP, cigar, explicit_cigar
 

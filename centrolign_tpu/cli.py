@@ -94,8 +94,13 @@ def main(argv=None) -> int:
 
     logmod.level = params.get("logging_level")
 
-    with open(params.get("fasta_name")) as f:
-        parsed = parse_fasta(f)
+    try:
+        with open(params.get("fasta_name")) as f:
+            parsed = parse_fasta(f)
+    except OSError as e:
+        print(f"error: could not open FASTA file "
+              f"{params.get('fasta_name')}: {e.strerror}", file=sys.stderr)
+        return 1
     if len(parsed) < 2:
         print(f"error: FASTA input contains {len(parsed)} sequence(s), "
               "cannot form an alignment", file=sys.stderr)

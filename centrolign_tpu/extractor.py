@@ -29,7 +29,26 @@ class SubGraphInfo:
 
 def extract_connecting_graph(graph, from_id: int, to_id: int, xmerge) -> SubGraphInfo:
     """Subgraph strictly between from_id and to_id (exclusive), restricted to
-    nodes that can reach to_id (reference subgraph_extraction.hpp:35-118)."""
+    nodes that can reach to_id (reference subgraph_extraction.hpp:35-118).
+    Dispatches to the native DFS; the Python body below is the oracle."""
+    from .native import ExtractionContext
+    ctx = getattr(xmerge, "_extract_ctx", None)
+    if ctx is None or ctx.V != graph.node_size:
+        ctx = ExtractionContext(graph, xmerge)
+        xmerge._extract_ctx = ctx
+    labels, back, ef, et, src, snk = ctx.extract(from_id, to_id)
+    info = SubGraphInfo()
+    info.subgraph.add_nodes(labels)
+    if len(ef):
+        info.subgraph.add_edges(ef, et)
+    info.back_translation = back
+    info.sources = src.tolist()
+    info.sinks = snk.tolist()
+    return info
+
+
+def extract_connecting_graph_py(graph, from_id: int, to_id: int, xmerge) -> SubGraphInfo:
+    """Pure-Python oracle for extract_connecting_graph."""
     info = SubGraphInfo()
     fwd: dict[int, int] = {}
     next_ptr, next_ind = graph.next_csr()

@@ -332,9 +332,27 @@ def find_matches(graph1, graph2, tableau1, tableau2, max_count: int,
     index = PathIndex.build([graph1, graph2], [tableau1, tableau2],
                             use_native=use_native)
     if use_native:
-        raw = find_minimal_rare_matches_native(index, max_count)
-    else:
-        raw = find_minimal_rare_matches(index, 2, max_count)
+        from . import native
+        rows = native.esa_minimal_rare_matches(
+            index.sa, index.isa, index.lcp,
+            index.comp[index.sa], index.ids[index.sa], max_count)
+        if score_function is not None and len(rows):
+            keep = np.array([
+                score_function.anchor_weight(int(c0), int(c1), int(L)) > 0.0
+                for (_b, _e, L, c0, c1) in rows], dtype=bool)
+            rows = rows[keep]
+        walks, offsets = native.esa_walk_matches(
+            rows, index.sa, index.ids, index.comp)
+        match_sets = []
+        for m in range(len(rows)):
+            L, c0, c1 = (int(rows[m, 2]), int(rows[m, 3]), int(rows[m, 4]))
+            w = walks[int(offsets[m]):int(offsets[m]) + (c0 + c1) * L]
+            w = w.reshape(c0 + c1, L)
+            match_sets.append(MatchSet(
+                walks1=w[:c0], walks2=w[c0:], count1=c0, count2=c1,
+                full_length=L))
+        return match_sets
+    raw = find_minimal_rare_matches(index, 2, max_count)
     match_sets = []
     for (b, e, L, cnt) in raw:
         if score_function is not None:

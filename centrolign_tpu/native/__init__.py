@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -114,6 +114,17 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int64, I64P, ctypes.c_int64, I64P,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, I32P, I32P,
         I64P, I64P]
+    lib.esa_walk_matches.restype = None
+    lib.esa_walk_matches.argtypes = [
+        ctypes.c_int64, I64P, I64P, I64P,
+        ctypes.POINTER(ctypes.c_int8), I64P, I64P]
+    lib.extract_connecting_native.restype = None
+    lib.extract_connecting_native.argtypes = [
+        ctypes.c_int64, I64P, I64P, U8P,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, I64P, I64P, I64P,
+        I64P, I64P, ctypes.c_int64,
+        U8P, I64P, I64P, I64P, I64P, I64P, I64P]
     _lib = lib
     return lib
 
@@ -306,3 +317,68 @@ def popoa_align(graph1, graph2, sources1, sources2, sinks1, sinks2, params):
         ge.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _ptr_i64(out), _ptr_i64(score))
     return out[:n].copy(), int(score[0])
+
+
+class ExtractionContext:
+    """Reusable buffers + flattened graph/xmerge arrays for native
+    extract_connecting_graph calls on one (graph, xmerge) pair."""
+
+    def __init__(self, graph, xmerge):
+        self.V = graph.node_size
+        nptr, nind = graph.next_csr()
+        self.nptr = np.ascontiguousarray(nptr, dtype=np.int64)
+        self.nind = np.ascontiguousarray(nind, dtype=np.int64)
+        self.labels = np.ascontiguousarray(graph.labels, dtype=np.uint8)
+        self.table = np.ascontiguousarray(xmerge.table, dtype=np.int64)
+        self.path_head = np.ascontiguousarray(xmerge.path_head, dtype=np.int64)
+        self.index_on = np.ascontiguousarray(xmerge.index_on, dtype=np.int64)
+        self.C = self.table.shape[1]
+        V, E = self.V, len(self.nind)
+        self.fwd = np.zeros(V, dtype=np.int64)
+        self.epoch = np.full(V, -1, dtype=np.int64)
+        self.cur = 0
+        self.out_labels = np.empty(max(V, 1), dtype=np.uint8)
+        self.out_back = np.empty(max(V, 1), dtype=np.int64)
+        self.out_ef = np.empty(max(E, 1), dtype=np.int64)
+        self.out_et = np.empty(max(E, 1), dtype=np.int64)
+        self.out_src = np.empty(max(V, 1), dtype=np.int64)
+        self.out_snk = np.empty(max(V, 1), dtype=np.int64)
+        self.counts = np.empty(4, dtype=np.int64)
+
+    def extract(self, from_id: int, to_id: int):
+        lib = get_lib()
+        self.cur += 1
+        lib.extract_connecting_native(
+            self.V, _ptr_i64(self.nptr), _ptr_i64(self.nind),
+            _ptr_u8(self.labels), int(from_id), int(to_id),
+            self.C, _ptr_i64(self.table), _ptr_i64(self.path_head),
+            _ptr_i64(self.index_on),
+            _ptr_i64(self.fwd), _ptr_i64(self.epoch), self.cur,
+            _ptr_u8(self.out_labels), _ptr_i64(self.out_back),
+            _ptr_i64(self.out_ef), _ptr_i64(self.out_et),
+            _ptr_i64(self.out_src), _ptr_i64(self.out_snk),
+            _ptr_i64(self.counts))
+        nn, ne, ns, nk = (int(x) for x in self.counts)
+        return (self.out_labels[:nn].copy(), self.out_back[:nn].copy(),
+                self.out_ef[:ne].copy(), self.out_et[:ne].copy(),
+                self.out_src[:ns].copy(), self.out_snk[:nk].copy())
+
+
+def esa_walk_matches(rows, sa, ids, comp):
+    """Walk all match rows into flat walks. Returns (walks flat int64,
+    offsets per row). Row m occupies walks[offsets[m] : offsets[m] +
+    (cnt0+cnt1)*L] as cnt0 comp-0 walks then cnt1 comp-1 walks."""
+    lib = get_lib()
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    comp = np.ascontiguousarray(comp, dtype=np.int8)
+    sizes = (rows[:, 3] + rows[:, 4]) * rows[:, 2]
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    walks = np.empty(int(offsets[-1]), dtype=np.int64)
+    lib.esa_walk_matches(
+        len(rows), _ptr_i64(rows), _ptr_i64(sa), _ptr_i64(ids),
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        _ptr_i64(offsets), _ptr_i64(walks))
+    return walks, offsets

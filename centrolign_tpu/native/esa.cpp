@@ -13,6 +13,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <unordered_set>
 
 namespace {
 
@@ -342,6 +343,38 @@ i64 esa_minimal_rare_matches(
         flag[pi] = any ? 1 : 0;
     }
     return n_matches;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Walk out match occurrences into node-id paths, deduplicated by
+// (component, start id), in SA order (reference esa.hpp:613-665). rows is
+// (M, 5): (sa_begin, sa_end, length, cnt0, cnt1); the walks of match m are
+// written contiguously (comp-0 walks first, then comp-1), each of length
+// rows[m][2], into out_walks at out_offsets[m] (given in units of i64).
+// Caller sizes out_walks as sum((cnt0+cnt1) * length).
+void esa_walk_matches(
+        i64 n_rows, const i64* rows,
+        const i64* sa, const i64* ids, const int8_t* comp,
+        const i64* out_offsets, i64* out_walks) {
+    std::unordered_set<i64> seen;
+    for (i64 m = 0; m < n_rows; ++m) {
+        i64 b = rows[5 * m], e = rows[5 * m + 1], L = rows[5 * m + 2];
+        i64 c0 = rows[5 * m + 3];
+        i64* w0 = out_walks + out_offsets[m];           // comp-0 walks
+        i64* w1 = w0 + c0 * L;                          // comp-1 walks
+        i64 k0 = 0, k1 = 0;
+        seen.clear();
+        for (i64 q = b; q <= e; ++q) {
+            i64 p = sa[q];
+            i64 ck = ((i64)comp[p] << 56) | ids[p];
+            if (!seen.insert(ck).second) continue;
+            i64* dst = comp[p] == 0 ? w0 + (k0++) * L : w1 + (k1++) * L;
+            for (i64 t = 0; t < L; ++t) dst[t] = ids[p + t];
+        }
+    }
 }
 
 }  // extern "C"

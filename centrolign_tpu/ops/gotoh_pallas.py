@@ -27,6 +27,16 @@ _NEG = np.int32(MININF)
 CHUNK = 128
 
 
+def _pow2_bucket(n: int, quantum: int) -> int:
+    """Round up to quantum * 2^k — one compile per scale instead of one per
+    128-multiple (the fill is cheap; XLA compiles through the tunnel are not).
+    """
+    out = quantum
+    while out < n:
+        out *= 2
+    return out
+
+
 def _shift_lanes(x, fill=_NEG):
     """out[., k] = x[., k-1]; out[., 0] = fill. x is (R, W) int32."""
     rolled = pltpu.roll(x, shift=1, axis=1)
@@ -34,15 +44,16 @@ def _shift_lanes(x, fill=_NEG):
     return jnp.where(lane == 0, fill, rolled)
 
 
-def _make_kernel(npw: int, lane_is_i: bool, swap_pref: bool):
+def _make_kernel(npw: int, lane_is_i: bool, swap_pref: bool, grid_axis: int = 0, bp_write=None, batched: bool = False):
     def kernel(scal_ref,           # SMEM: [V1, V2, match, mismatch, go..., ge...]
                a_ref,              # VMEM (1, W) int32: lane-side labels
                b_ref,              # VMEM (1, LB) int32: reversed other labels
                bp_ref,             # out VMEM (CHUNK, W) int32 backpointers
                score_ref,          # out SMEM (1, 1) int32
                M1, M2, II, DD):    # scratch VMEM (1, W), (1, W), (npw, W), (npw, W)
-        c = pl.program_id(0)
-        W = a_ref.shape[1]
+        c = pl.program_id(grid_axis)
+        W = a_ref.shape[-1]
+        a_vec = a_ref[0] if batched else a_ref[:]
         V1 = scal_ref[0]
         V2 = scal_ref[1]
         match = scal_ref[2]
@@ -70,10 +81,13 @@ def _make_kernel(npw: int, lane_is_i: bool, swap_pref: bool):
             off = jnp.maximum(W + other_len - d, 0)
             base = (off // 128) * 128
             rem = off - base
-            chunk = b_ref[:, pl.ds(base, W + 128)]
+            if batched:
+                chunk = b_ref[0, :, pl.ds(base, W + 128)]
+            else:
+                chunk = b_ref[:, pl.ds(base, W + 128)]
             rolled = pltpu.roll(chunk, shift=(W + 128) - rem, axis=1)
             bvec = rolled[:, :W]
-            score_vec = jnp.where(a_ref[:] == bvec, match, -mismatch)
+            score_vec = jnp.where(a_vec == bvec, match, -mismatch)
 
             Mrow1 = M1[:]
             Mrow2 = M2[:]
@@ -134,7 +148,10 @@ def _make_kernel(npw: int, lane_is_i: bool, swap_pref: bool):
             code = jnp.where(corner, 0, code)
             bp = bp | code
 
-            bp_ref[pl.ds(k, 1), :] = bp
+            if bp_write is None:
+                bp_ref[pl.ds(k, 1), :] = bp
+            else:
+                bp_write(bp_ref, k, bp)
             M2[:] = Mrow1
             M1[:] = Mnew
 
@@ -227,9 +244,12 @@ def gotoh_align_pallas(seq1, seq2, params, swap_pref: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("lane_is_i", "npw", "cap"))
-def _traceback_bp_on_device(bp, V1, V2, lane_is_i: bool, npw: int, cap: int):
-    """Replicates gotoh._traceback_bp on device. Returns (pairs (cap, 2)
-    int32 filled from the END, count). GAP = -1."""
+def _traceback_bp_on_device(bp, score, V1, V2, lane_is_i: bool, npw: int,
+                            cap: int):
+    """Replicates gotoh._traceback_bp on device. Returns one (cap+1, 2) int32
+    array: row 0 is (count, score); the alignment pairs fill rows 1..cap from
+    the END (a single array means a single D2H round trip — the tunnel has
+    ~25ms latency per fetch). GAP = -1."""
 
     def cond(state):
         i, j, comp, idx, out = state
@@ -269,12 +289,13 @@ def _traceback_bp_on_device(bp, V1, V2, lane_is_i: bool, npw: int, cap: int):
         j_next = jnp.where(is_diag | ~take_i, j - 1, j)
         return (i_next, j_next, comp_next, idx - 1, out)
 
-    out0 = jnp.zeros((cap, 2), jnp.int32)
+    out0 = jnp.zeros((cap + 1, 2), jnp.int32)
     i0 = jnp.int32(V1)
     j0 = jnp.int32(V2)
-    state = (i0, j0, jnp.int32(0), jnp.int32(cap - 1), out0)
+    state = (i0, j0, jnp.int32(0), jnp.int32(cap), out0)
     i, j, comp, idx, out = jax.lax.while_loop(cond, body, state)
-    return out, cap - 1 - idx
+    header = jnp.stack([cap - idx, score[0, 0]])
+    return jax.lax.dynamic_update_slice(out, header[None], (0, 0))
 
 
 def gotoh_align_pallas_device_tb(seq1, seq2, params, swap_pref: bool = False):
@@ -286,8 +307,8 @@ def gotoh_align_pallas_device_tb(seq1, seq2, params, swap_pref: bool = False):
     V1, V2 = len(seq1), len(seq2)
     npw = params.num_pw
     lane_is_i = V1 <= V2
-    W = _bucket((V1 if lane_is_i else V2) + 1, 128)
-    num_diags = _bucket(V1 + V2 + 1, CHUNK * 2)
+    W = _pow2_bucket((V1 if lane_is_i else V2) + 1, 128)
+    num_diags = _pow2_bucket(V1 + V2 + 1, CHUNK * 2)
     a, b = _build_skew_inputs(seq1, seq2, lane_is_i, W, num_diags + 128)
     scalars = np.array(
         [V1, V2, params.match, params.mismatch,
@@ -295,9 +316,136 @@ def gotoh_align_pallas_device_tb(seq1, seq2, params, swap_pref: bool = False):
     bp, score = gotoh_fill_pallas(
         jnp.asarray(scalars), jnp.asarray(a), jnp.asarray(b),
         num_diags, W, lane_is_i, npw, swap_pref)
-    pairs, count = _traceback_bp_on_device(
-        bp, jnp.int32(V1), jnp.int32(V2), lane_is_i, npw, num_diags)
-    pairs = np.asarray(jax.device_get(pairs), dtype=np.int64)
-    count = int(jax.device_get(count))
-    aln = pairs[len(pairs) - count:]
-    return aln, int(jax.device_get(score)[0, 0])
+    packed = _traceback_bp_on_device(
+        bp, score, jnp.int32(V1), jnp.int32(V2), lane_is_i, npw, num_diags)
+    packed = np.asarray(jax.device_get(packed), dtype=np.int64)
+    count, sc = int(packed[0, 0]), int(packed[0, 1])
+    aln = packed[len(packed) - count:]
+    return aln, sc
+
+
+# ---------------------------------------------------------------------------
+# Batched fill: one launch for a whole group of gap matrices. The tunnel to
+# the chip has ~25-30ms round-trip latency, so per-gap dispatch is latency-
+# bound; batching amortizes it. Grid is (B, n_chunks); scratch re-inits at
+# chunk 0 of every batch element.
+
+
+def _make_batch_kernel(npw: int, lane_is_i: bool, swap_pref: bool):
+    def bp_write(bp_ref, k, bp):
+        bp_ref[pl.ds(0, 1), pl.ds(k, 1), :] = bp[None]
+
+    base = _make_kernel(npw, lane_is_i, swap_pref, grid_axis=1,
+                        bp_write=bp_write, batched=True)
+
+    def kernel(scal_ref, a_ref, b_ref, bp_ref, score_ref, M1, M2, II, DD):
+        bidx = pl.program_id(0)
+
+        class _Scal:
+            """View of the b-th row of the scalar table."""
+            def __getitem__(self, k):
+                return scal_ref[bidx, k]
+
+        class _Score:
+            def __setitem__(self, _idx, v):
+                score_ref[0, 0, 0] = v
+
+        base(_Scal(), a_ref, b_ref, bp_ref, _Score(), M1, M2, II, DD)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_diags", "W", "lane_is_i", "npw", "swap_pref"))
+def gotoh_fill_pallas_batch(scalars, a, b, num_diags: int, W: int,
+                            lane_is_i: bool, npw: int, swap_pref: bool):
+    """scalars (B, 4+2npw) int32; a (B, W); b (B, LB). Returns
+    (bp (B, num_diags, W) int32, score (B, 1, 1) int32)."""
+    B = a.shape[0]
+    kernel = _make_batch_kernel(npw, lane_is_i, swap_pref)
+    n_chunks = num_diags // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, W), lambda bi, c, s: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b.shape[1]), lambda bi, c, s: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, CHUNK, W), lambda bi, c, s: (bi, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda bi, c, s: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, W), jnp.int32),
+            pltpu.VMEM((1, W), jnp.int32),
+            pltpu.VMEM((npw, W), jnp.int32),
+            pltpu.VMEM((npw, W), jnp.int32),
+        ],
+    )
+    bp, score = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, num_diags, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+    )(scalars, a[:, None, :], b[:, None, :])
+    return bp, score
+
+
+@functools.partial(jax.jit, static_argnames=("lane_is_i", "npw", "cap"))
+def _traceback_batch_on_device(bp, score, V1, V2, lane_is_i: bool, npw: int,
+                               cap: int):
+    fn = functools.partial(_traceback_bp_on_device, lane_is_i=lane_is_i,
+                           npw=npw, cap=cap)
+    return jax.vmap(fn)(bp, score, V1, V2)
+
+
+def gotoh_align_pallas_batched(jobs, params):
+    """jobs: list of (seq1 int32[], seq2 int32[], swap_pref bool). Returns a
+    list of (alignment (L,2) int64, score int) — identical per-job results to
+    gotoh_align_pallas_device_tb, but grouped into a handful of launches."""
+    from .gotoh import _build_skew_inputs
+
+    npw = params.num_pw
+    groups = {}
+    for slot, (s1, s2, swp) in enumerate(jobs):
+        V1, V2 = len(s1), len(s2)
+        lane_is_i = V1 <= V2
+        W = _pow2_bucket((V1 if lane_is_i else V2) + 1, 128)
+        num_diags = _pow2_bucket(V1 + V2 + 1, CHUNK * 2)
+        groups.setdefault((W, num_diags, lane_is_i, bool(swp)), []).append(slot)
+
+    results = [None] * len(jobs)
+    for (W, num_diags, lane_is_i, swp), slots in groups.items():
+        B = _pow2_bucket(len(slots), 1)
+        a_all = np.empty((B, W), np.int32)
+        b_all = np.empty((B, 2 * W + num_diags + 128), np.int32)
+        scal = np.empty((B, 4 + 2 * npw), np.int32)
+        V1s = np.empty(B, np.int32)
+        V2s = np.empty(B, np.int32)
+        for k in range(B):
+            s1, s2, _ = jobs[slots[min(k, len(slots) - 1)]]
+            s1 = np.asarray(s1, dtype=np.int32)
+            s2 = np.asarray(s2, dtype=np.int32)
+            a_all[k], b_all[k] = _build_skew_inputs(
+                s1, s2, lane_is_i, W, num_diags + 128)
+            scal[k] = [len(s1), len(s2), params.match, params.mismatch,
+                       *params.gap_open, *params.gap_extend]
+            V1s[k], V2s[k] = len(s1), len(s2)
+        bp, score = gotoh_fill_pallas_batch(
+            jnp.asarray(scal), jnp.asarray(a_all), jnp.asarray(b_all),
+            num_diags, W, lane_is_i, npw, swp)
+        packed = _traceback_batch_on_device(
+            bp, score, jnp.asarray(V1s), jnp.asarray(V2s),
+            lane_is_i, npw, num_diags)
+        packed = np.asarray(jax.device_get(packed), dtype=np.int64)
+        for k, slot in enumerate(slots):
+            row = packed[k]
+            count, sc = int(row[0, 0]), int(row[0, 1])
+            results[slot] = (row[len(row) - count:], sc)
+    return results

@@ -39,6 +39,15 @@ from .native import popoa_align as popoa_native
 _I64 = np.int64
 
 
+@dataclass
+class _Pending:
+    """Placeholder for a device-batched gap alignment: `job` feeds the
+    batched Pallas kernel, `finish` maps its raw lane-space alignment back
+    into parent-graph coordinates."""
+    job: tuple
+    finish: object
+
+
 def translate_alignment(aln: np.ndarray, back1, back2) -> np.ndarray:
     """Map subgraph node ids back to parent ids (reference src/alignment.cpp:26)."""
     out = aln.copy()
@@ -109,9 +118,22 @@ class Stitcher:
                     stitched.append(np.stack([a.walk1, a.walk2], axis=1))
             pair = between[i]
             self._subalign(pair[0], pair[1], stitched, True)
+        self._flush_pending(stitched)
         if stitched:
             return np.concatenate(stitched, axis=0)
         return np.empty((0, 2), dtype=_I64)
+
+    def _flush_pending(self, stitched: list) -> None:
+        """Run all queued device gap alignments as grouped batched launches
+        (the chip link is latency-bound: ~25ms/round-trip)."""
+        slots = [k for k, x in enumerate(stitched) if isinstance(x, _Pending)]
+        if not slots:
+            return
+        from .ops.gotoh_pallas import gotoh_align_pallas_batched
+        jobs = [stitched[k].job for k in slots]
+        results = gotoh_align_pallas_batched(jobs, self.alignment_params)
+        for k, (aln, _score) in zip(slots, results):
+            stitched[k] = stitched[k].finish(aln)
 
     def internal_stitch(self, anchor_chain, graph, xmerge) -> np.ndarray:
         """(reference stitcher.hpp:208-234). Note the reference appends each
@@ -127,6 +149,7 @@ class Stitcher:
             if i != 0:
                 pair = stitch_graphs[i - 1]
                 self._subalign(pair[0], pair[1], stitched, False)
+        self._flush_pending(stitched)
         return np.concatenate(stitched, axis=0) if stitched else np.empty((0, 2), dtype=_I64)
 
     # ------------------------------------------------------------------
@@ -150,7 +173,13 @@ class Stitcher:
             c += 1
         params = p.truncated(c + 1)
         aln = self._do_alignment(ex1, ex2, only_deletion_alns, params)
-        aln = translate_alignment(aln, ex1.back_translation, ex2.back_translation)
+        back1, back2 = ex1.back_translation, ex2.back_translation
+        if isinstance(aln, _Pending):
+            inner = aln.finish
+            aln = _Pending(aln.job, lambda a, inner=inner, b1=back1, b2=back2:
+                           translate_alignment(inner(a), b1, b2))
+        else:
+            aln = translate_alignment(aln, back1, back2)
         stitched.append(aln)
 
     def _do_alignment(self, ex1, ex2, only_deletion_alns, params) -> np.ndarray:
@@ -176,6 +205,10 @@ class Stitcher:
                 and max2 <= self.deletion_alignment_short_max_size
                 and min1 >= self.deletion_alignment_long_min_size):
             aln = self._po_poa(ex2, ex1, params, swapped=True)
+            if isinstance(aln, _Pending):
+                inner = aln.finish
+                return _Pending(aln.job,
+                                lambda a, inner=inner: swap_sides(inner(a)))
             return swap_sides(aln)
         if (mat_size < self.max_wfa_size
                 and ((min2 * r >= min1 and min2 <= max1 * r)
@@ -188,29 +221,27 @@ class Stitcher:
             ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
             ex1.sinks, ex2.sinks, params)
 
-    def _po_poa(self, ex1, ex2, params, swapped: bool = False) -> np.ndarray:
+    def _po_poa(self, ex1, ex2, params, swapped: bool = False):
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
         if (self.use_device and V1 * V2 >= self.device_min_cells
-                and _is_chain(ex1) and _is_chain(ex2)):
-            from .ops.gotoh_pallas import (
-                gotoh_align_pallas_device_tb as gotoh_align_pallas)
+                and _is_chain(ex1) and _is_chain(ex2)
+                and params.num_pw == self.alignment_params.num_pw):
             order1 = _chain_order(ex1)
             order2 = _chain_order(ex2)
             # chain subgraph node ids may not be in order; remap through the
             # chain order and back
             s1 = ex1.subgraph.labels[order1].astype(np.int32)
             s2 = ex2.subgraph.labels[order2].astype(np.int32)
-            try:
-                aln, _ = gotoh_align_pallas(s1, s2, params, swap_pref=swapped)
-            except Exception:
-                from .ops.gotoh import gotoh_align
-                aln, _ = gotoh_align(s1, s2, params, swap_pref=swapped)
-            out = aln.copy()
-            m1 = out[:, 0] != GAP
-            m2 = out[:, 1] != GAP
-            out[m1, 0] = order1[out[m1, 0]]
-            out[m2, 1] = order2[out[m2, 1]]
-            return out
+
+            def finish(aln, order1=order1, order2=order2):
+                out = aln.copy()
+                m1 = out[:, 0] != GAP
+                m2 = out[:, 1] != GAP
+                out[m1, 0] = order1[out[m1, 0]]
+                out[m2, 1] = order2[out[m2, 1]]
+                return out
+
+            return _Pending(job=(s1, s2, swapped), finish=finish)
         aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
                               ex2.sources, ex1.sinks, ex2.sinks, params)
         return aln

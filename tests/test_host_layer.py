@@ -173,3 +173,52 @@ def test_purge_uncovered():
     g2 = purge_uncovered_nodes(g, t)
     assert g2.node_size == 6
     assert g2.label(t.src_id) == 5
+
+
+def test_native_extract_connecting_graph_parity():
+    """Native DFS extraction == Python oracle on random graphs."""
+    import numpy as np
+    from centrolign_tpu.extractor import (
+        extract_connecting_graph, extract_connecting_graph_py)
+    from centrolign_tpu.path_merge import PathMerge
+    from centrolign_tpu.modify_graph import add_sentinels
+    from util import random_dag
+
+    for trial in range(10):
+        rng = np.random.default_rng(300 + trial)
+        g = random_dag(rng, int(rng.integers(10, 120)))
+        # path cover so PathMerge has chains
+        from centrolign_tpu.graph_algs import topological_order
+        covered = np.zeros(g.node_size, dtype=bool)
+        order = topological_order(g)
+        pid_n = 0
+        for v in order:
+            if covered[v]:
+                continue
+            pid = g.add_path(f"xcov{pid_n}"); pid_n += 1
+            cur = int(v)
+            g.extend_path(pid, cur)
+            covered[cur] = True
+            while True:
+                nxt = g.next(cur)
+                if len(nxt) == 0:
+                    break
+                cur = int(nxt[0])
+                g.extend_path(pid, cur)
+                covered[cur] = True
+        tab = add_sentinels(g, 5, 6)
+        xm = PathMerge(g, tab)
+        ids = rng.permutation(g.node_size)[:6]
+        for a in ids:
+            for b in ids:
+                if a == b:
+                    continue
+                nat = extract_connecting_graph(g, int(a), int(b), xm)
+                py = extract_connecting_graph_py(g, int(a), int(b), xm)
+                assert np.array_equal(nat.subgraph.labels, py.subgraph.labels)
+                assert np.array_equal(np.asarray(nat.back_translation),
+                                      np.asarray(py.back_translation))
+                ne, pe = nat.subgraph.edges(), py.subgraph.edges()
+                assert np.array_equal(ne[0], pe[0]) and np.array_equal(ne[1], pe[1])
+                assert list(nat.sources) == list(py.sources)
+                assert list(nat.sinks) == list(py.sinks)
