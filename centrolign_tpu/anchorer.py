@@ -169,23 +169,163 @@ class Anchorer:
             matches, graph1, graph2, xmerge1, xmerge2,
             sources1, sources2, sinks1, sinks2, budget, algorithm, scale,
             masked_matches)
-        # NOTE: fill_in_anchor_chain (anchorer.hpp:619-700) not yet built;
-        # tracked as a known gap for a later round.
+        if self.do_fill_in_anchoring:
+            self._fill_in_anchor_chain(
+                anchors, matches, graph1, graph2, tableau1, tableau2,
+                xmerge1, xmerge2, algorithm, scale, masked_matches)
         return anchors
+
+    # ------------------------------------------------------------------
+    # fill-in anchoring (reference anchorer.hpp:619-800, src/anchorer.cpp)
+
+    def _fill_in_anchor_chain(self, anchors, matches, graph1, graph2,
+                              tableau1, tableau2, xmerge1, xmerge2,
+                              algorithm, scale, masked_matches):
+        if not anchors:
+            return
+        from .extractor import extract_graphs_between, project_paths
+        from .match_finder import MatchSet
+
+        fill_in_graphs = extract_graphs_between(
+            anchors, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2)
+        project_paths(graph1, graph2, fill_in_graphs)
+        fill_in_matches, match_origin = self._divvy_matches(
+            matches, graph1, graph2, fill_in_graphs)
+        budgets = self._assign_reanchor_budget(fill_in_graphs)
+
+        fill_in_anchors = []
+        for i, (sub1, sub2) in enumerate(fill_in_graphs):
+            xm1 = PathMerge(sub1.subgraph)
+            xm2 = PathMerge(sub2.subgraph)
+            fi_masked = None
+            if masked_matches:
+                fi_masked = set()
+                for fset, (orig_set, (w1s, w2s)) in enumerate(match_origin[i]):
+                    for idx1, oi1 in enumerate(w1s):
+                        for idx2, oi2 in enumerate(w2s):
+                            if (orig_set, oi1, oi2) in masked_matches:
+                                fi_masked.add((fset, idx1, idx2))
+            fill_in_anchors.append(self._chain_core(
+                fill_in_matches[i], sub1.subgraph, sub2.subgraph, xm1, xm2,
+                list(sub1.sources), list(sub2.sources),
+                list(sub1.sinks), list(sub2.sinks),
+                budgets[i], algorithm, scale, fi_masked))
+
+        self._merge_fill_in_chains(anchors, fill_in_anchors, fill_in_graphs,
+                                   match_origin)
+
+    def _divvy_matches(self, matches, graph1, graph2, fill_in_graphs):
+        """(reference anchorer.hpp:700-800)"""
+        from .match_finder import MatchSet
+        fwd1 = np.full((graph1.node_size, 2), -1, dtype=_I64)
+        fwd2 = np.full((graph2.node_size, 2), -1, dtype=_I64)
+        for i, (sub1, sub2) in enumerate(fill_in_graphs):
+            bt1 = np.asarray(sub1.back_translation, dtype=_I64)
+            if len(bt1):
+                fwd1[bt1, 0] = i
+                fwd1[bt1, 1] = np.arange(len(bt1))
+            bt2 = np.asarray(sub2.back_translation, dtype=_I64)
+            if len(bt2):
+                fwd2[bt2, 0] = i
+                fwd2[bt2, 1] = np.arange(len(bt2))
+
+        divvied = [[] for _ in fill_in_graphs]
+        origins = [[] for _ in fill_in_graphs]
+        for si, ms in enumerate(matches):
+            initialized = {}
+            for j in range(len(ms.walks1)):
+                w = ms.walks1[j]
+                sidx = fwd1[w[0], 0]
+                if sidx != -1 and sidx == fwd1[w[-1], 0]:
+                    sidx = int(sidx)
+                    if sidx not in initialized:
+                        divvied[sidx].append(
+                            dict(walks1=[], walks2=[], count1=ms.count1,
+                                 count2=ms.count2,
+                                 full_length=ms.full_length))
+                        origins[sidx].append((si, ([], [])))
+                        initialized[sidx] = True
+                    origins[sidx][-1][1][0].append(j)
+                    divvied[sidx][-1]["walks1"].append(fwd1[w, 1])
+            for k in range(len(ms.walks2)):
+                w = ms.walks2[k]
+                sidx = fwd2[w[0], 0]
+                if (sidx != -1 and int(sidx) in initialized
+                        and sidx == fwd2[w[-1], 0]):
+                    sidx = int(sidx)
+                    origins[sidx][-1][1][1].append(k)
+                    divvied[sidx][-1]["walks2"].append(fwd2[w, 1])
+            for sidx in initialized:
+                if not divvied[sidx][-1]["walks2"]:
+                    divvied[sidx].pop()
+                    origins[sidx].pop()
+
+        out = []
+        for lst in divvied:
+            sets = []
+            for d in lst:
+                sets.append(MatchSet(
+                    walks1=np.array(d["walks1"], dtype=_I64),
+                    walks2=np.array(d["walks2"], dtype=_I64),
+                    count1=d["count1"], count2=d["count2"],
+                    full_length=d["full_length"]))
+            out.append(sets)
+        return out, origins
+
+    def _assign_reanchor_budget(self, fill_in_graphs):
+        """(reference src/anchorer.cpp:136-154)"""
+        import math
+        sizes = [(p[0].subgraph.node_size + 1) * (p[1].subgraph.node_size + 1)
+                 for p in fill_in_graphs]
+        total = sum(sizes)
+        return [int(math.ceil(float(self.max_num_match_pairs) * float(sz)
+                              / float(total))) for sz in sizes]
+
+    def _merge_fill_in_chains(self, anchors, fill_in_chains, fill_in_graphs,
+                              match_origin):
+        """(reference src/anchorer.cpp:156-230)"""
+        merged = []
+        assert len(anchors) + 1 == len(fill_in_chains)
+        for i in range(len(fill_in_chains)):
+            if i != 0:
+                a = anchors[i - 1]
+                if merged:
+                    a.gap_before = merged[-1].gap_after
+                    a.gap_score_before = merged[-1].gap_score_after
+                merged.append(a)
+            bt1 = np.asarray(fill_in_graphs[i][0].back_translation, dtype=_I64)
+            bt2 = np.asarray(fill_in_graphs[i][1].back_translation, dtype=_I64)
+            for j, a in enumerate(fill_in_chains[i]):
+                if j == 0 and merged:
+                    merged[-1].gap_score_after = a.gap_score_before
+                    merged[-1].gap_after = a.gap_before
+                origin_set = match_origin[i][a.match_set]
+                merged.append(Anchor(
+                    walk1=bt1[a.walk1], walk2=bt2[a.walk2],
+                    count1=a.count1, count2=a.count2,
+                    full_length=a.full_length, score=a.score,
+                    gap_before=a.gap_before, gap_after=a.gap_after,
+                    gap_score_before=a.gap_score_before,
+                    gap_score_after=a.gap_score_after,
+                    match_set=origin_set[0],
+                    idx1=origin_set[1][0][a.idx1],
+                    idx2=origin_set[1][1][a.idx2]))
+        anchors[:] = merged
 
     def _budget_matches(self, matches, budget, masked_matches):
         """Greedy score-ordered budget to `budget` match pairs; reorders
         `matches` in place like the reference (anchorer.hpp:1108-1173).
-        Returns number of usable match sets."""
+        Returns (num usable match sets, num_anchors, max_match_size)."""
         total = sum(len(m.walks1) * len(m.walks2) for m in matches)
         if total <= budget:
-            return len(matches)
+            return len(matches), total, 0
         sf = self.score_function
         order = sorted(
             range(len(matches)), key=lambda i: -sf.anchor_weight(
                 matches[i].count1, matches[i].count2, matches[i].full_length))
         removed = 0
         pairs_left = budget
+        max_match_size = 0
         for pos in range(len(order)):
             i = order[pos]
             m = matches[i]
@@ -194,6 +334,8 @@ class Anchorer:
                 break
             pc = len(m.walks1) * len(m.walks2)
             if pairs_left >= pc:
+                max_match_size = max(max_match_size,
+                                     max(len(m.walks1), len(m.walks2)))
                 pairs_left -= pc
                 order[pos - removed], order[pos] = order[pos], order[pos - removed]
             else:
@@ -206,12 +348,18 @@ class Anchorer:
             remapped = {(index[s], i1, i2) for (s, i1, i2) in masked_matches}
             masked_matches.clear()
             masked_matches.update(remapped)
-        return len(matches) - removed
+        return len(matches) - removed, budget - pairs_left, max_match_size
 
     def _chain_core(self, matches, graph1, graph2, xmerge1, xmerge2,
                     sources1, sources2, sinks1, sinks2, budget, algorithm,
                     scale, masked_matches):
-        num_sets = self._budget_matches(matches, budget, masked_matches)
+        num_sets, num_anchors, max_match_size = self._budget_matches(
+            matches, budget, masked_matches)
+        if algorithm in (ChainAlgorithm.Sparse, ChainAlgorithm.SparseAffine):
+            return self._chain_parity(
+                matches, graph1, graph2, xmerge1, xmerge2,
+                sources1, sources2, sinks1, sinks2, algorithm, scale,
+                masked_matches, num_sets, num_anchors, max_match_size)
         score_edges = algorithm == ChainAlgorithm.SparseAffine
 
         # flatten anchors
@@ -366,6 +514,76 @@ class Anchorer:
         if score_edges:
             self._annotate_gaps(chain, sources1, sources2, sinks1, sinks2,
                                 xmerge1, xmerge2, psd1, psd2, scale)
+        return chain
+
+    def _chain_parity(self, matches, graph1, graph2, xmerge1, xmerge2,
+                      sources1, sources2, sinks1, sinks2, algorithm, scale,
+                      masked_matches, num_sets, num_anchors, max_match_size):
+        """Reference-exact chaining through the native parity engines
+        (reference anchorer.hpp:1175-1329 incl. the memory-saving graph
+        switch)."""
+        from .native import chain_sparse_parity, chain_affine_parity
+
+        switch = (graph1.node_size * xmerge1.num_chains
+                  > graph2.node_size * xmerge2.num_chains)
+        local_masked = masked_matches
+        if switch:
+            for m in matches:
+                m.walks1, m.walks2 = m.walks2, m.walks1
+                m.count1, m.count2 = m.count2, m.count1
+            if masked_matches:
+                local_masked = {(s_, j_, i_) for (s_, i_, j_) in masked_matches}
+            graph1, graph2 = graph2, graph1
+            xmerge1, xmerge2 = xmerge2, xmerge1
+            sources1, sources2 = sources2, sources1
+            sinks1, sinks2 = sinks2, sinks1
+
+        sf = self.score_function
+        weights = np.array([
+            sf.anchor_weight(m.count1, m.count2,
+                             (m.walks1.shape[1] if len(m.walks1) else 0),
+                             m.full_length)
+            for m in matches[:num_sets]] + [0.0] * (len(matches) - num_sets))
+
+        if algorithm == ChainAlgorithm.Sparse:
+            rows, scores = chain_sparse_parity(
+                graph1, matches, num_sets, weights, xmerge1, xmerge2,
+                sources1, sources2, sinks1, sinks2, local_masked)
+            fvals = np.zeros((len(rows), 3))
+            fvals[:, 0] = scores
+            grows = np.zeros((len(rows), 2), dtype=_I64)
+        else:
+            arows, fvals = chain_affine_parity(
+                graph1, graph2, matches, num_sets, weights, xmerge1, xmerge2,
+                self.gap_open, self.gap_extend, scale,
+                sources1, sources2, sinks1, sinks2,
+                num_anchors, max_match_size, local_masked)
+            rows = arows[:, :3]
+            grows = arows[:, 3:5]
+
+        chain = []
+        for k in range(len(rows)):
+            si, i1, i2 = (int(rows[k, 0]), int(rows[k, 1]), int(rows[k, 2]))
+            m = matches[si]
+            chain.append(Anchor(
+                walk1=np.asarray(m.walks1[i1]), walk2=np.asarray(m.walks2[i2]),
+                count1=m.count1, count2=m.count2, full_length=m.full_length,
+                score=float(fvals[k, 0]),
+                gap_before=int(grows[k, 0]), gap_after=int(grows[k, 1]),
+                gap_score_before=float(fvals[k, 1]),
+                gap_score_after=float(fvals[k, 2]),
+                match_set=si, idx1=i1, idx2=i2))
+
+        if switch:
+            for m in matches:
+                m.walks1, m.walks2 = m.walks2, m.walks1
+                m.count1, m.count2 = m.count2, m.count1
+            for a in chain:
+                a.walk1, a.walk2 = a.walk2, a.walk1
+                a.count1, a.count2 = a.count2, a.count1
+                a.idx1, a.idx2 = a.idx2, a.idx1
+                a.gap_before = -a.gap_before
+                a.gap_after = -a.gap_after
         return chain
 
     # ------------------------------------------------------------------

@@ -205,17 +205,44 @@ def project_paths(graph1, graph2, stitch_graphs):
 
 
 def _project_one(graph, step_index: "StepIndex", sub: SubGraphInfo):
-    path_ids: dict[int, int] = {}
     if sub.subgraph.node_size == 0:
         return
     back = np.asarray(sub.back_translation, dtype=_I64)
-    for node_id in reference_topological_order(sub.subgraph):
-        for (pid, _step) in step_index.path_steps(int(back[node_id])):
-            spid = path_ids.get(pid)
-            if spid is None:
-                spid = sub.subgraph.add_path(graph.path_name(pid))
-                path_ids[pid] = spid
-            sub.subgraph.extend_path(spid, int(node_id))
+    from .native import reference_topological_order as _ref_topo
+    order = _ref_topo(sub.subgraph)
+    # gather all (pid, position) pairs of the ordered nodes, vectorized
+    onodes = back[order]
+    st = step_index._indptr[onodes]
+    en = step_index._indptr[onodes + 1]
+    counts = en - st
+    total = int(counts.sum())
+    if total == 0:
+        return
+    from .graph_algs import _multi_range
+    flat = _multi_range(st, en)
+    pids = step_index._pids[flat]
+    pos = np.repeat(np.arange(len(order), dtype=_I64), counts)
+    sub_nodes = order[pos]
+    # first-encounter order of paths over the traversal
+    first_pos = {}
+    enc = []
+    for p in pids:
+        p = int(p)
+        if p not in first_pos:
+            first_pos[p] = len(enc)
+            enc.append(p)
+    rank = np.array([first_pos[int(p)] for p in pids], dtype=_I64)
+    sort = np.lexsort((np.arange(total), rank))
+    spids = {}
+    for p in enc:
+        spids[p] = sub.subgraph.add_path(graph.path_name(p))
+    # extend each path with its nodes in traversal order
+    sorted_rank = rank[sort]
+    sorted_nodes = sub_nodes[sort]
+    bounds = np.flatnonzero(np.diff(sorted_rank)) + 1
+    chunks = np.split(sorted_nodes, bounds)
+    for p, chunk in zip(enc, chunks):
+        sub.subgraph.extend_path_array(spids[p], chunk)
 
 
 class StepIndex:

@@ -107,11 +107,13 @@ def _multi_range(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=_I64)
+    nz = lens > 0
+    s, l = starts[nz], lens[nz]
     out = np.ones(total, dtype=_I64)
-    offsets = np.cumsum(lens)[:-1]
-    out[0] = starts[0]
-    if len(starts) > 1:
-        out[offsets] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    offsets = np.cumsum(l)[:-1]
+    out[0] = s[0]
+    if len(s) > 1:
+        out[offsets] = s[1:] - (s[:-1] + l[:-1] - 1)
     return np.cumsum(out)
 
 

@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -125,6 +125,48 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int64, I64P, I64P, I64P,
         I64P, I64P, ctypes.c_int64,
         U8P, I64P, I64P, I64P, I64P, I64P, I64P]
+    lib.chain_sparse_parity.restype = ctypes.c_int64
+    lib.chain_sparse_parity.argtypes = (
+        [ctypes.c_int64] + [I64P] * 4 +
+        [ctypes.c_int64, ctypes.c_int64] + [I64P] * 6 +
+        [ctypes.POINTER(ctypes.c_double)] + [I64P] * 4 +
+        [ctypes.c_int64] + [I64P] * 5 +
+        [ctypes.c_int64] + [I64P] * 5 +
+        [ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+         ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+         ctypes.c_int64, I64P,
+         ctypes.c_int64, I64P, ctypes.POINTER(ctypes.c_double)])
+    DP = ctypes.POINTER(ctypes.c_double)
+    lib.ref_topological_order.restype = None
+    lib.ref_topological_order.argtypes = [ctypes.c_int64] + [I64P] * 5
+    lib.path_merge_build.restype = None
+    lib.path_merge_build.argtypes = (
+        [ctypes.c_int64] + [I64P] * 4 +
+        [ctypes.c_int64, I64P, I64P, ctypes.c_int64, ctypes.c_int64] +
+        [I64P] * 3)
+    lib.chain_affine_parity.restype = ctypes.c_int64
+    lib.chain_affine_parity.argtypes = (
+        [ctypes.c_int64] + [I64P] * 4 +
+        [ctypes.c_int64] + [I64P] * 4 +
+        [ctypes.c_int64, ctypes.c_int64] + [I64P] * 6 + [DP] + [I64P] * 4 +
+        [ctypes.c_int64] + [I64P] * 5 +
+        [ctypes.c_int64] + [I64P] * 5 +
+        [DP, DP, ctypes.c_double,
+         ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+         ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+         ctypes.c_int64, I64P, ctypes.c_int32,
+         ctypes.c_int64, I64P, DP])
+    _wfa_common = [
+        ctypes.c_int64, U8P, I64P, I64P, I64P, I64P,
+        ctypes.c_int64, U8P, I64P, I64P, I64P, I64P,
+        ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+        ctypes.c_int64, I64P, ctypes.c_int64, I64P,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, I64P, I64P]
+    lib.wfa_po_poa_native.restype = ctypes.c_int64
+    lib.wfa_po_poa_native.argtypes = _wfa_common + [
+        ctypes.c_int32, ctypes.c_int64, I64P, I64P]
+    lib.deletion_wfa_po_poa_native.restype = ctypes.c_int64
+    lib.deletion_wfa_po_poa_native.argtypes = _wfa_common + [I64P, I64P]
     _lib = lib
     return lib
 
@@ -382,3 +424,233 @@ def esa_walk_matches(rows, sa, ids, comp):
         comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         _ptr_i64(offsets), _ptr_i64(walks))
     return walks, offsets
+
+
+def _graph_args(graph):
+    nptr, nind = _csr64(graph.next_csr())
+    pptr, pind = _csr64(graph.prev_csr())
+    lab = np.ascontiguousarray(graph.labels, dtype=np.uint8)
+    return (graph.node_size, _ptr_u8(lab), _ptr_i64(nptr), _ptr_i64(nind),
+            _ptr_i64(pptr), _ptr_i64(pind)), (lab, nptr, nind, pptr, pind)
+
+
+def wfa_po_poa(graph1, graph2, sources1, sources2, sinks1, sinks2, params,
+               prune_limit=None):
+    """Reference-equal wfa_po_poa (prune_limit None) / pwfa_po_poa
+    (prune_limit set). Returns (alignment, score)."""
+    lib = get_lib()
+    a1, keep1 = _graph_args(graph1)
+    a2, keep2 = _graph_args(graph2)
+    s1 = np.ascontiguousarray(sources1, dtype=np.int64)
+    s2 = np.ascontiguousarray(sources2, dtype=np.int64)
+    k1 = np.ascontiguousarray(sinks1, dtype=np.int64)
+    k2 = np.ascontiguousarray(sinks2, dtype=np.int64)
+    go = np.ascontiguousarray(params.gap_open, dtype=np.int64)
+    ge = np.ascontiguousarray(params.gap_extend, dtype=np.int64)
+    cap = 2 * (graph1.node_size + graph2.node_size + 4)
+    out = np.empty((cap, 2), dtype=np.int64)
+    score = np.zeros(1, dtype=np.int64)
+    n = lib.wfa_po_poa_native(
+        *a1, *a2,
+        len(s1), _ptr_i64(s1), len(s2), _ptr_i64(s2),
+        len(k1), _ptr_i64(k1), len(k2), _ptr_i64(k2),
+        int(params.match), int(params.mismatch), len(go),
+        _ptr_i64(go), _ptr_i64(ge),
+        0 if prune_limit is None else 1,
+        0 if prune_limit is None else int(prune_limit),
+        _ptr_i64(out), _ptr_i64(score))
+    return out[:n].copy(), int(score[0])
+
+
+def deletion_wfa_po_poa(short_graph, long_graph, sources_short, sources_long,
+                        sinks_short, sinks_long, params):
+    """Reference-equal deletion_wfa_po_poa. Returns (alignment, score)."""
+    lib = get_lib()
+    a1, keep1 = _graph_args(short_graph)
+    a2, keep2 = _graph_args(long_graph)
+    s1 = np.ascontiguousarray(sources_short, dtype=np.int64)
+    s2 = np.ascontiguousarray(sources_long, dtype=np.int64)
+    k1 = np.ascontiguousarray(sinks_short, dtype=np.int64)
+    k2 = np.ascontiguousarray(sinks_long, dtype=np.int64)
+    go = np.ascontiguousarray(params.gap_open, dtype=np.int64)
+    ge = np.ascontiguousarray(params.gap_extend, dtype=np.int64)
+    cap = 2 * (short_graph.node_size + 2 * long_graph.node_size + 8)
+    out = np.empty((cap, 2), dtype=np.int64)
+    score = np.zeros(1, dtype=np.int64)
+    n = lib.deletion_wfa_po_poa_native(
+        *a1, *a2,
+        len(s1), _ptr_i64(s1), len(s2), _ptr_i64(s2),
+        len(k1), _ptr_i64(k1), len(k2), _ptr_i64(k2),
+        int(params.match), int(params.mismatch), len(go),
+        _ptr_i64(go), _ptr_i64(ge),
+        _ptr_i64(out), _ptr_i64(score))
+    return out[:n].copy(), int(score[0])
+
+
+def _flatten_match_sets(matches, num_sets, weights):
+    n = len(matches)
+    set_n1 = np.array([len(m.walks1) for m in matches], dtype=np.int64)
+    set_n2 = np.array([len(m.walks2) for m in matches], dtype=np.int64)
+    set_L = np.array([m.walks1.shape[1] if len(m.walks1) else
+                      (m.walks2.shape[1] if len(m.walks2) else 0)
+                      for m in matches], dtype=np.int64)
+    set_c1 = np.array([m.count1 for m in matches], dtype=np.int64)
+    set_c2 = np.array([m.count2 for m in matches], dtype=np.int64)
+    set_fl = np.array([m.full_length for m in matches], dtype=np.int64)
+    w1_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(set_n1 * set_L, out=w1_off[1:])
+    w2_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(set_n2 * set_L, out=w2_off[1:])
+    w1 = (np.concatenate([np.asarray(m.walks1, dtype=np.int64).ravel()
+                          for m in matches]) if n else np.empty(0, np.int64))
+    w2 = (np.concatenate([np.asarray(m.walks2, dtype=np.int64).ravel()
+                          for m in matches]) if n else np.empty(0, np.int64))
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    return (set_n1, set_n2, set_L, set_c1, set_c2, set_fl, weights,
+            w1_off[:-1].copy(), np.ascontiguousarray(w1),
+            w2_off[:-1].copy(), np.ascontiguousarray(w2))
+
+
+def chain_sparse_parity(graph1, matches, num_sets, weights, xm1, xm2,
+                        sources1, sources2, sinks1, sinks2, masked=None):
+    """Reference-exact free-gap sparse chaining. Returns (M,3) int64 rows of
+    (set, idx1, idx2) plus (M,) float64 scores."""
+    from ..path_merge import xmerge_view_arrays
+    lib = get_lib()
+    n1ptr, n1ind = _csr64(graph1.next_csr())
+    p1ptr, p1ind = _csr64(graph1.prev_csr())
+    (set_n1, set_n2, set_L, set_c1, set_c2, set_fl, w,
+     w1_off, w1, w2_off, w2) = _flatten_match_sets(matches, num_sets, weights)
+    t1, io1, ci1, co1, cn1 = xmerge_view_arrays(xm1)
+    t2, io2, ci2, co2, cn2 = xmerge_view_arrays(xm2)
+
+    def ids(x):
+        return (np.ascontiguousarray(x, dtype=np.int64) if x is not None
+                else np.empty(0, dtype=np.int64))
+    s1, s2, k1, k2 = ids(sources1), ids(sources2), ids(sinks1), ids(sinks2)
+    ns1 = len(s1) if sources1 is not None else -1
+    ns2 = len(s2) if sources2 is not None else -1
+    nk1 = len(k1) if sinks1 is not None else -1
+    nk2 = len(k2) if sinks2 is not None else -1
+    if masked:
+        mrows = np.array(sorted(masked), dtype=np.int64).reshape(-1, 3)
+    else:
+        mrows = np.empty((0, 3), dtype=np.int64)
+    cap = int(sum(set_n1[:num_sets] * set_n2[:num_sets])) + 1
+    out_rows = np.empty((cap, 5), dtype=np.int64)
+    out_f = np.empty((cap, 3), dtype=np.float64)
+    nout = lib.chain_sparse_parity(
+        graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
+        _ptr_i64(p1ptr), _ptr_i64(p1ind),
+        len(matches), num_sets, _ptr_i64(set_n1), _ptr_i64(set_n2),
+        _ptr_i64(set_L), _ptr_i64(set_c1), _ptr_i64(set_c2), _ptr_i64(set_fl),
+        _ptr_f64(w), _ptr_i64(w1_off), _ptr_i64(w1), _ptr_i64(w2_off),
+        _ptr_i64(w2),
+        t1.shape[1], _ptr_i64(t1), _ptr_i64(io1), _ptr_i64(ci1),
+        _ptr_i64(co1), _ptr_i64(cn1),
+        t2.shape[1], _ptr_i64(t2), _ptr_i64(io2), _ptr_i64(ci2),
+        _ptr_i64(co2), _ptr_i64(cn2),
+        ns1, _ptr_i64(s1), ns2, _ptr_i64(s2),
+        nk1, _ptr_i64(k1), nk2, _ptr_i64(k2),
+        len(mrows), _ptr_i64(np.ascontiguousarray(mrows)),
+        cap, _ptr_i64(out_rows), _ptr_f64(out_f))
+    return out_rows[:nout, :3].copy(), out_f[:nout, 0].copy()
+
+
+def chain_affine_parity(graph1, graph2, matches, num_sets, weights, xm1, xm2,
+                        gap_open, gap_extend, local_scale,
+                        sources1, sources2, sinks1, sinks2,
+                        num_anchors, max_match_size, masked=None):
+    """Reference-exact SparseAffine chaining. Returns ((M,5) int64 rows of
+    (set, idx1, idx2, gap_before, gap_after), (M,3) float64 of
+    (score, gap_score_before, gap_score_after))."""
+    from ..path_merge import xmerge_view_arrays
+    lib = get_lib()
+    n1ptr, n1ind = _csr64(graph1.next_csr())
+    p1ptr, p1ind = _csr64(graph1.prev_csr())
+    n2ptr, n2ind = _csr64(graph2.next_csr())
+    p2ptr, p2ind = _csr64(graph2.prev_csr())
+    (set_n1, set_n2, set_L, set_c1, set_c2, set_fl, w,
+     w1_off, w1, w2_off, w2) = _flatten_match_sets(matches, num_sets, weights)
+    t1, io1, ci1, co1, cn1 = xmerge_view_arrays(xm1)
+    t2, io2, ci2, co2, cn2 = xmerge_view_arrays(xm2)
+
+    def ids(x):
+        return (np.ascontiguousarray(x, dtype=np.int64) if x is not None
+                else np.empty(0, dtype=np.int64))
+    s1, s2, k1, k2 = ids(sources1), ids(sources2), ids(sinks1), ids(sinks2)
+    ns1 = len(s1) if sources1 is not None else -1
+    ns2 = len(s2) if sources2 is not None else -1
+    nk1 = len(k1) if sinks1 is not None else -1
+    nk2 = len(k2) if sinks2 is not None else -1
+    if masked:
+        mrows = np.array(sorted(masked), dtype=np.int64).reshape(-1, 3)
+    else:
+        mrows = np.empty((0, 3), dtype=np.int64)
+    go = np.ascontiguousarray(gap_open, dtype=np.float64)
+    ge = np.ascontiguousarray(gap_extend, dtype=np.float64)
+    # reference width dispatch (anchorer.hpp:1271-1280)
+    max_diag_diff = graph1.node_size + graph2.node_size
+    use_small = (num_sets < 2**32 - 1 and max_match_size < 2**16 - 1
+                 and max_diag_diff < 2**31 - 1 and num_anchors < 2**32 - 1)
+    cap = int(sum(set_n1[:num_sets] * set_n2[:num_sets])) + 1
+    out_rows = np.empty((cap, 5), dtype=np.int64)
+    out_f = np.empty((cap, 3), dtype=np.float64)
+    nout = lib.chain_affine_parity(
+        graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
+        _ptr_i64(p1ptr), _ptr_i64(p1ind),
+        graph2.node_size, _ptr_i64(n2ptr), _ptr_i64(n2ind),
+        _ptr_i64(p2ptr), _ptr_i64(p2ind),
+        len(matches), num_sets, _ptr_i64(set_n1), _ptr_i64(set_n2),
+        _ptr_i64(set_L), _ptr_i64(set_c1), _ptr_i64(set_c2), _ptr_i64(set_fl),
+        _ptr_f64(w), _ptr_i64(w1_off), _ptr_i64(w1), _ptr_i64(w2_off),
+        _ptr_i64(w2),
+        t1.shape[1], _ptr_i64(t1), _ptr_i64(io1), _ptr_i64(ci1),
+        _ptr_i64(co1), _ptr_i64(cn1),
+        t2.shape[1], _ptr_i64(t2), _ptr_i64(io2), _ptr_i64(ci2),
+        _ptr_i64(co2), _ptr_i64(cn2),
+        _ptr_f64(go), _ptr_f64(ge), float(local_scale),
+        ns1, _ptr_i64(s1), ns2, _ptr_i64(s2),
+        nk1, _ptr_i64(k1), nk2, _ptr_i64(k2),
+        len(mrows), _ptr_i64(np.ascontiguousarray(mrows)),
+        1 if use_small else 0,
+        cap, _ptr_i64(out_rows), _ptr_f64(out_f))
+    return out_rows[:nout].copy(), out_f[:nout].copy()
+
+
+def path_merge_build(graph, tableau=None):
+    """Native PathMerge construction. Returns (index_on (C,V), path_head (V,),
+    table (V,C))."""
+    lib = get_lib()
+    V = graph.node_size
+    P = graph.path_size
+    C = P + (1 if tableau is not None else 0)
+    nptr, nind = _csr64(graph.next_csr())
+    pptr, pind = _csr64(graph.prev_csr())
+    paths = [graph.path(p) for p in range(P)]
+    off = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in paths], out=off[1:])
+    nodes = (np.concatenate(paths).astype(np.int64) if paths
+             else np.empty(0, dtype=np.int64))
+    index_on = np.full((C, V), -1, dtype=np.int64)
+    path_head = np.full(V, -1, dtype=np.int64)
+    table = np.full((V, C), -1, dtype=np.int64)
+    lib.path_merge_build(
+        V, _ptr_i64(nptr), _ptr_i64(nind), _ptr_i64(pptr), _ptr_i64(pind),
+        P, _ptr_i64(off), _ptr_i64(nodes),
+        tableau.src_id if tableau is not None else -1,
+        tableau.snk_id if tableau is not None else -1,
+        _ptr_i64(index_on), _ptr_i64(path_head), _ptr_i64(table))
+    return index_on, path_head, table
+
+
+def reference_topological_order(graph):
+    """The reference's LIFO-stack Kahn topological order."""
+    lib = get_lib()
+    V = graph.node_size
+    nptr, nind = _csr64(graph.next_csr())
+    pptr, pind = _csr64(graph.prev_csr())
+    out = np.empty(V, dtype=np.int64)
+    lib.ref_topological_order(V, _ptr_i64(nptr), _ptr_i64(nind),
+                              _ptr_i64(pptr), _ptr_i64(pind), _ptr_i64(out))
+    return out

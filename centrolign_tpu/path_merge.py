@@ -20,12 +20,18 @@ MISSING = np.int64(-1)  # the reference uses UIntSize::max; -1 compares the
 
 
 class PathMerge:
-    def __init__(self, graph, tableau=None):
+    def __init__(self, graph, tableau=None, use_native=True):
         V = graph.node_size
         P = graph.path_size
         extra = 1 if tableau is not None else 0
         self.num_chains = P + extra
         self.graph = graph
+        if use_native:
+            from .native import path_merge_build
+            self.index_on, self.path_head, self.table = \
+                path_merge_build(graph, tableau)
+            self.tableau = tableau
+            return
 
         # index_on[p][v]: index of v on path p, or -1
         self.index_on = np.full((self.num_chains, V), MISSING, dtype=_I64)
@@ -165,3 +171,96 @@ class PostSwitchDistances:
     def distance_vec(self, vs: np.ndarray, ps: np.ndarray) -> np.ndarray:
         d = self.distances[ps, vs]
         return np.where(d == 0, self.HUGE, d)
+
+
+class ChainMerge:
+    """Reachability oracle via chain decomposition (reference
+    chain_merge.hpp:19,96-178): each node belongs to exactly one chain
+    (first path to cover it); the reference uses this during calibration."""
+
+    def __init__(self, graph, tableau=None):
+        V = graph.node_size
+        P = graph.path_size
+        extra = 1 if tableau is not None else 0
+        self.num_chains = P + extra
+        self.graph = graph
+        self.chain_id = np.full(V, MISSING, dtype=_I64)
+        self.chain_index = np.full(V, MISSING, dtype=_I64)
+        self.chains = []
+        for p in range(P):
+            chain = []
+            for v in graph.path(p):
+                if self.chain_id[v] == MISSING:
+                    self.chain_id[v] = p
+                    self.chain_index[v] = len(chain)
+                    chain.append(int(v))
+            self.chains.append(np.array(chain, dtype=_I64))
+        if tableau is not None:
+            self.chains.append(np.array([tableau.src_id, tableau.snk_id],
+                                        dtype=_I64))
+            self.chain_id[tableau.src_id] = P
+            self.chain_index[tableau.src_id] = 0
+            self.chain_id[tableau.snk_id] = P
+            self.chain_index[tableau.snk_id] = 1
+
+        # index_on in the unified layout
+        self.index_on = np.full((self.num_chains, V), MISSING, dtype=_I64)
+        ok = self.chain_id != MISSING
+        self.index_on[self.chain_id[ok], np.flatnonzero(ok)] = \
+            self.chain_index[ok]
+
+        # last-to-reach table (reference chain_merge.hpp:126-157)
+        self.table = np.full((V, self.num_chains), MISSING, dtype=_I64)
+        from .graph_algs import reference_topological_order
+        next_ptr, next_ind = graph.next_csr()
+        for v in reference_topological_order(graph):
+            c, idx = int(self.chain_id[v]), int(self.chain_index[v])
+            if c == MISSING:
+                continue
+            row = self.table[v]
+            for k in range(next_ptr[v], next_ptr[v + 1]):
+                nx = int(next_ind[k])
+                if self.chain_id[nx] == MISSING:
+                    continue
+                nrow = self.table[nx]
+                cand = row.copy()
+                cand[c] = idx
+                np.maximum(nrow, cand, out=nrow)
+
+    # unified-view accessors (same API subset as PathMerge)
+    @property
+    def path_head(self):
+        return self.chain_id
+
+    def chain_size(self):
+        return self.num_chains
+
+    def reachable(self, from_id: int, to_id: int) -> bool:
+        cf = self.chain_id[from_id]
+        if cf == MISSING:
+            return False
+        last = self.table[to_id, cf]
+        return last != MISSING and self.chain_index[from_id] <= last
+
+
+def xmerge_view_arrays(xm):
+    """Flattened arrays of a PathMerge/ChainMerge for the native parity
+    engine: (table (V,C), index_on (C,V), chain_id (V,), chain_offsets,
+    chain_nodes)."""
+    table = np.ascontiguousarray(xm.table, dtype=_I64)
+    index_on = np.ascontiguousarray(xm.index_on, dtype=_I64)
+    if hasattr(xm, "chains"):  # ChainMerge
+        chain_id = np.ascontiguousarray(xm.chain_id, dtype=_I64)
+        chains = xm.chains
+    else:  # PathMerge: chains are the paths (+ pseudo sentinel chain)
+        chain_id = np.ascontiguousarray(xm.path_head, dtype=_I64)
+        g = xm.graph
+        chains = [g.path(p) for p in range(g.path_size)]
+        if xm.num_chains > g.path_size:
+            chains.append(np.array([xm.tableau.src_id, xm.tableau.snk_id],
+                                   dtype=_I64))
+    offsets = np.zeros(len(chains) + 1, dtype=_I64)
+    np.cumsum([len(c) for c in chains], out=offsets[1:])
+    nodes = (np.concatenate(chains).astype(_I64) if chains
+             else np.empty(0, dtype=_I64))
+    return table, index_on, chain_id, offsets, nodes

@@ -14,11 +14,12 @@ src/stitcher.cpp):
 - despecify_indel_breakpoints removes low-scoring anchors that pin the
   placement of long indels (src/stitcher.cpp:115-311)
 
-The WFA-regime gaps are currently aligned with the exact PO-POA kernel
-instead of a wavefront heuristic: the score model is identical and the result
-is an (equal-or-better) optimum; a pruned-WFA device kernel is planned. The
-PO-POA path dispatches chain x chain gaps to the TPU Gotoh kernel and DAG
-gaps to the host oracle.
+Aligner dispatch is reference-exact: PO-POA (TPU Gotoh kernel for chain x
+chain gaps, native C++ for DAG gaps), native pruned WFA for large
+near-diagonal gaps, native bidirectional deletion-WFA for strongly
+asymmetric gaps, and greedy partial alignment for unalignable gaps — the
+WFA family is validated pair-for-pair against the reference implementation
+(tests/test_wfa.py).
 """
 
 from __future__ import annotations
@@ -199,16 +200,18 @@ class Stitcher:
         if (max1 * self.deletion_alignment_ratio <= min2
                 and max1 <= self.deletion_alignment_short_max_size
                 and min2 >= self.deletion_alignment_long_min_size):
-            # deletion-WFA regime: exact DP gives the same-or-better optimum
-            return self._po_poa(ex1, ex2, params)
+            from .native import deletion_wfa_po_poa
+            aln, _ = deletion_wfa_po_poa(
+                ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
+                ex1.sinks, ex2.sinks, params)
+            return aln
         if (max2 * self.deletion_alignment_ratio <= min1
                 and max2 <= self.deletion_alignment_short_max_size
                 and min1 >= self.deletion_alignment_long_min_size):
-            aln = self._po_poa(ex2, ex1, params, swapped=True)
-            if isinstance(aln, _Pending):
-                inner = aln.finish
-                return _Pending(aln.job,
-                                lambda a, inner=inner: swap_sides(inner(a)))
+            from .native import deletion_wfa_po_poa
+            aln, _ = deletion_wfa_po_poa(
+                ex2.subgraph, ex1.subgraph, ex2.sources, ex1.sources,
+                ex2.sinks, ex1.sinks, params)
             return swap_sides(aln)
         if (mat_size < self.max_wfa_size
                 and ((min2 * r >= min1 and min2 <= max1 * r)
@@ -216,7 +219,12 @@ class Stitcher:
                      or (min1 * r >= min2 and min1 <= max2 * r)
                      or (max1 * r >= min2 and max1 <= max2 * r))
                 and not only_deletion_alns):
-            return self._po_poa(ex1, ex2, params)
+            from .native import wfa_po_poa
+            aln, _ = wfa_po_poa(
+                ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
+                ex1.sinks, ex2.sinks, params,
+                prune_limit=2 * self.wfa_pruning_dist)
+            return aln
         return greedy_partial_alignment(
             ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
             ex1.sinks, ex2.sinks, params)
