@@ -98,6 +98,10 @@ class Anchorer:
     do_fill_in_anchoring: bool = True
     split_matches_at_branchpoints: bool = True
     autocalibrate_gap_penalties: bool = True
+    anchor_split_limit: int = 5
+    min_split_length: int = 128
+    min_path_length_spread: int = 50
+    max_split_match_set_size: int = 16
 
     # ------------------------------------------------------------------
 
@@ -110,6 +114,9 @@ class Anchorer:
                      masked_matches=None, override_scale=None):
         """Top-level chaining (reference anchorer.hpp:958-996). ``matches``
         may be reordered in place (budgeting)."""
+        if self.split_matches_at_branchpoints:
+            self.split_branching_matches(
+                matches, graph1, graph2, tableau1, tableau2, masked_matches)
         scale = 1.0
         if override_scale is not None:
             scale = override_scale
@@ -121,6 +128,83 @@ class Anchorer:
         return self._anchor_chain_global(
             matches, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2,
             self.chaining_algorithm, scale, masked_matches)
+
+    def split_branching_matches(self, matches, graph1, graph2, tableau1,
+                                tableau2, masked_matches=None):
+        """Split long anchors at superbubble boundaries with high path-length
+        spread (reference anchorer.hpp:803-956)."""
+        if self.anchor_split_limit == 0:
+            return
+        from .native import SuperbubbleTree
+        from .match_finder import MatchSet
+
+        set_masked = {}
+        if masked_matches:
+            for (s_, i_, j_) in masked_matches:
+                set_masked.setdefault(s_, []).append((i_, j_))
+
+        bubbles1 = SuperbubbleTree(graph1, tableau1)
+        bubbles2 = SuperbubbleTree(graph2, tableau2)
+
+        def spread_branch_end(tree, node):
+            bid = tree.structure_ending_at(node)
+            if bid == -1:
+                return False
+            mn, mx = tree.structure_min_max_dist(bid)
+            return mx - mn >= self.min_path_length_spread
+
+        def spread_branch_begin(tree, node):
+            bid = tree.structure_beginning_at(node)
+            if bid == -1:
+                return False
+            mn, mx = tree.structure_min_max_dist(bid)
+            return mx - mn >= self.min_path_length_spread
+
+        num_original = len(matches)
+        for si in range(num_original):
+            ms = matches[si]
+            L = ms.walks1.shape[1]
+            if (len(ms.walks1) * len(ms.walks2) > self.max_split_match_set_size
+                    or L < self.min_split_length):
+                continue
+            division_idxs = []
+            j = 0
+            while j < L:
+                if (j == self.anchor_split_limit
+                        and j + self.anchor_split_limit < L):
+                    j = L - self.anchor_split_limit
+                if j != 0 and (not division_idxs or division_idxs[-1] != j):
+                    found = any(
+                        spread_branch_end(bubbles1, int(w[j]))
+                        for w in ms.walks1) or any(
+                        spread_branch_end(bubbles2, int(w[j]))
+                        for w in ms.walks2)
+                    if found:
+                        division_idxs.append(j)
+                if j + 1 != L:
+                    found = any(
+                        spread_branch_begin(bubbles1, int(w[j]))
+                        for w in ms.walks1) or any(
+                        spread_branch_begin(bubbles2, int(w[j]))
+                        for w in ms.walks2)
+                    if found:
+                        division_idxs.append(j + 1)
+                j += 1
+            if not division_idxs:
+                continue
+            end = L
+            for div in reversed(division_idxs):
+                if masked_matches and si in set_masked:
+                    for (mi, mj) in set_masked[si]:
+                        masked_matches.add((len(matches), mi, mj))
+                matches.append(MatchSet(
+                    walks1=ms.walks1[:, div:end].copy(),
+                    walks2=ms.walks2[:, div:end].copy(),
+                    count1=ms.count1, count2=ms.count2,
+                    full_length=ms.full_length))
+                end = div
+            ms.walks1 = ms.walks1[:, :division_idxs[0]].copy()
+            ms.walks2 = ms.walks2[:, :division_idxs[0]].copy()
 
     def estimate_score_scale(self, matches, graph1, graph2, tableau1, tableau2,
                              xmerge1, xmerge2, masked_matches=None,

@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -137,6 +137,10 @@ def get_lib() -> ctypes.CDLL:
          ctypes.c_int64, I64P,
          ctypes.c_int64, I64P, ctypes.POINTER(ctypes.c_double)])
     DP = ctypes.POINTER(ctypes.c_double)
+    lib.superbubbles_build.restype = ctypes.c_int64
+    lib.superbubbles_build.argtypes = (
+        [ctypes.c_int64] + [I64P] * 4 + [ctypes.c_int64, ctypes.c_int64] +
+        [I64P] * 8)
     lib.ref_topological_order.restype = None
     lib.ref_topological_order.argtypes = [ctypes.c_int64] + [I64P] * 5
     lib.path_merge_build.restype = None
@@ -654,3 +658,58 @@ def reference_topological_order(graph):
     lib.ref_topological_order(V, _ptr_i64(nptr), _ptr_i64(nind),
                               _ptr_i64(pptr), _ptr_i64(pind), _ptr_i64(out))
     return out
+
+
+class SuperbubbleTree:
+    """Superbubble decomposition + chain tree + min/max walk distances
+    (reference superbubbles.hpp, structure_tree.hpp, structure_distances.hpp).
+    """
+
+    def __init__(self, graph, tableau=None):
+        lib = get_lib()
+        V = graph.node_size
+        nptr, nind = _csr64(graph.next_csr())
+        pptr, pind = _csr64(graph.prev_csr())
+        self.node_begin = np.empty(V, dtype=np.int64)
+        self.node_end = np.empty(V, dtype=np.int64)
+        bounds = np.empty((max(V, 1), 2), dtype=np.int64)
+        sdist = np.empty((max(V, 1), 2), dtype=np.int64)
+        chain_of = np.empty(max(V, 1), dtype=np.int64)
+        chain_parent = np.empty(max(V, 1), dtype=np.int64)
+        chain_dist = np.empty((max(V, 1), 2), dtype=np.int64)
+        nch = np.zeros(1, dtype=np.int64)
+        S = lib.superbubbles_build(
+            V, _ptr_i64(nptr), _ptr_i64(nind), _ptr_i64(pptr), _ptr_i64(pind),
+            tableau.src_id if tableau is not None else -1,
+            tableau.snk_id if tableau is not None else -1,
+            _ptr_i64(self.node_begin), _ptr_i64(self.node_end),
+            _ptr_i64(bounds), _ptr_i64(sdist), _ptr_i64(chain_of),
+            _ptr_i64(chain_parent), _ptr_i64(chain_dist), _ptr_i64(nch))
+        if S < 0:
+            raise ValueError(
+                "can only find superbubbles in single-source, single-sink "
+                "graphs")
+        self.structure_size = int(S)
+        self.chain_count = int(nch[0])
+        self.bounds = bounds[:S].copy()
+        self.structure_dists = sdist[:S].copy()
+        self.chain_of = chain_of[:S].copy()
+        self.chain_parent = chain_parent[:self.chain_count].copy()
+        self.chain_dists = chain_dist[:self.chain_count].copy()
+
+    def structure_beginning_at(self, node_id: int) -> int:
+        return int(self.node_begin[node_id])
+
+    def structure_ending_at(self, node_id: int) -> int:
+        return int(self.node_end[node_id])
+
+    def structure_boundaries(self, struct_id: int):
+        return int(self.bounds[struct_id, 0]), int(self.bounds[struct_id, 1])
+
+    def structure_min_max_dist(self, struct_id: int):
+        return (int(self.structure_dists[struct_id, 0]),
+                int(self.structure_dists[struct_id, 1]))
+
+    def chain_min_max_dist(self, chain_id: int):
+        return (int(self.chain_dists[chain_id, 0]),
+                int(self.chain_dists[chain_id, 1]))
