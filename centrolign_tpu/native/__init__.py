@@ -127,7 +127,7 @@ def get_lib() -> ctypes.CDLL:
         U8P, I64P, I64P, I64P, I64P, I64P, I64P]
     lib.chain_sparse_parity.restype = ctypes.c_int64
     lib.chain_sparse_parity.argtypes = (
-        [ctypes.c_int64] + [I64P] * 4 +
+        [ctypes.c_int64] + [I64P] * 4 + [ctypes.c_int64] +
         [ctypes.c_int64, ctypes.c_int64] + [I64P] * 6 +
         [ctypes.POINTER(ctypes.c_double)] + [I64P] * 4 +
         [ctypes.c_int64] + [I64P] * 5 +
@@ -543,9 +543,10 @@ def chain_sparse_parity(graph1, matches, num_sets, weights, xm1, xm2,
     cap = int(sum(set_n1[:num_sets] * set_n2[:num_sets])) + 1
     out_rows = np.empty((cap, 5), dtype=np.int64)
     out_f = np.empty((cap, 3), dtype=np.float64)
+    V2 = len(ci2)
     nout = lib.chain_sparse_parity(
         graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
-        _ptr_i64(p1ptr), _ptr_i64(p1ind),
+        _ptr_i64(p1ptr), _ptr_i64(p1ind), V2,
         len(matches), num_sets, _ptr_i64(set_n1), _ptr_i64(set_n2),
         _ptr_i64(set_L), _ptr_i64(set_c1), _ptr_i64(set_c2), _ptr_i64(set_fl),
         _ptr_f64(w), _ptr_i64(w1_off), _ptr_i64(w1), _ptr_i64(w2_off),

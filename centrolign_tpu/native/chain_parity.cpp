@@ -659,7 +659,7 @@ extern "C" {
 i64 chain_sparse_parity(
         // graph1
         i64 V1, const i64* n1ptr, const i64* n1ind, const i64* p1ptr,
-        const i64* p1ind,
+        const i64* p1ind, i64 V2,
         // match sets, flattened
         i64 num_sets_total, i64 num_sets, const i64* set_n1, const i64* set_n2,
         const i64* set_L, const i64* set_count1, const i64* set_count2,
@@ -679,8 +679,7 @@ i64 chain_sparse_parity(
         i64 out_cap, i64* out_rows, double* out_fvals) {
     CsrGraph g1{V1, n1ptr, n1ind, p1ptr, p1ind};
     XMergeView xm1{V1, C1, table1, index_on1, chainid1, choff1, chnodes1};
-    // note: V2 not needed for the view accessors used here
-    XMergeView xm2{-1, C2, table2, index_on2, chainid2, choff2, chnodes2};
+    XMergeView xm2{V2, C2, table2, index_on2, chainid2, choff2, chnodes2};
 
     std::vector<MatchSetView> sets(num_sets_total);
     for (i64 s = 0; s < num_sets_total; ++s) {

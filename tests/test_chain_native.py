@@ -63,3 +63,46 @@ def test_native_chain_matches_brute(use_gap, trial):
             assert e1[v] < s1[prev] and e2[v] < s2[prev]
         prev = v
         v = int(backptr[v])
+
+
+def test_sparse_parity_multipath_graph2():
+    """Regression: the sparse parity engine must handle multi-path graph2
+    (XMergeView V was once passed as -1, corrupting index_on lookups)."""
+    import numpy as np
+    from centrolign_tpu.modify_graph import make_base_graph, add_sentinels
+    from centrolign_tpu.match_finder import find_matches
+    from centrolign_tpu.path_merge import PathMerge
+    from centrolign_tpu.alignment import fuse
+    from centrolign_tpu.anchorer import Anchorer
+    from centrolign_tpu.score_function import ScoreFunction
+    from conftest import random_low_entropy_sequence, mutate_sequence
+
+    rng = np.random.default_rng(41)
+    base = random_low_entropy_sequence(rng, 3000, period=171)
+    s1, s2, s3 = (mutate_sequence(rng, base, 0.02, 0.01) for _ in range(3))
+    g1 = make_base_graph("a", s1)
+    g2 = make_base_graph("b", s2)
+    t1 = add_sentinels(g1, 5, 6)
+    t2 = add_sentinels(g2, 7, 8)
+    sf = ScoreFunction()
+    anch = Anchorer(score_function=sf)
+    m12 = find_matches(g1, g2, t1, t2, 3000, sf)
+    pm1, pm2 = PathMerge(g1, t1), PathMerge(g2, t2)
+    from centrolign_tpu.partitioner import Partitioner
+    from centrolign_tpu.stitcher import Stitcher
+    chain = anch.anchor_chain(m12, g1, g2, t1, t2, pm1, pm2)
+    segs = Partitioner(score_function=sf).partition_anchors(
+        chain, g1, g2, t1, t2, pm1, pm2, False)
+    st = Stitcher()
+    segs = [st.despecify_indel_breakpoints(s) for s in segs]
+    aln = st.stitch(segs, g1, g2, t1, t2, pm1, pm2)
+    fuse(g1, g2, t1, t2, aln)
+    # now g1 is a 2-path DAG; chain a third sequence against it
+    g3 = make_base_graph("c", s3)
+    t3 = add_sentinels(g3, 5, 6)
+    from centrolign_tpu.modify_graph import reassign_sentinels
+    reassign_sentinels(g1, t1, 7, 8)
+    m3 = find_matches(g3, g1, t3, t1, 3000, sf)
+    pm3, pm1b = PathMerge(g3, t3), PathMerge(g1, t1)
+    chain3 = anch.anchor_chain(m3, g3, g1, t3, t1, pm3, pm1b)
+    assert len(chain3) > 0  # was 0 with the V=-1 bug
