@@ -19,6 +19,7 @@
 #include <limits>
 #include <cmath>
 #include <unordered_set>
+#include <array>
 #include <cstdio>
 #include <cstdlib>
 #include <chrono>
@@ -345,6 +346,135 @@ struct MaxTreeP {
     }
 };
 
+// ------------------------------------- multi-channel max/ortho trees
+// The 2*NumPW piecewise trees share keys, layout, and update positions; only
+// their values diverge. One structure with NCH value channels preserves the
+// per-channel semantics of 6 independent reference trees while building the
+// static structure once.
+
+template <typename K, int NCH>
+struct MultiMaxTreeP {
+    using CrossVal = std::pair<f32, i64>;
+    std::vector<K> key;
+    std::array<std::vector<CrossVal>, NCH> value;
+    std::array<std::vector<i64>, NCH> submax;
+
+    static inline i64 left(i64 x) { return 2 * x + 1; }
+    static inline i64 right(i64 x) { return 2 * x + 2; }
+    static inline i64 parent(i64 x) { return (x - 1) / 2; }
+    inline i64 size() const { return (i64)key.size(); }
+    inline bool empty() const { return key.empty(); }
+
+    void build(std::vector<std::pair<K, CrossVal>>& data) {
+        key.resize(data.size());
+        for (int c = 0; c < NCH; ++c) {
+            value[c].resize(data.size());
+            submax[c].resize(data.size());
+        }
+        if (data.empty()) return;
+        std::stable_sort(data.begin(), data.end(),
+                         [](const std::pair<K, CrossVal>& a,
+                            const std::pair<K, CrossVal>& b) {
+                             return a.first < b.first;
+                         });
+        i64 vec_idx = 0;
+        std::vector<std::pair<i64, bool>> stack;
+        stack.emplace_back(0, false);
+        while (!stack.empty()) {
+            auto& top = stack.back();
+            if (!top.second) {
+                top.second = true;
+                i64 l = left(top.first);
+                if (l < size()) stack.emplace_back(l, false);
+            } else {
+                key[top.first] = data[vec_idx].first;
+                for (int c = 0; c < NCH; ++c) {
+                    value[c][top.first] = data[vec_idx].second;
+                    submax[c][top.first] = top.first;
+                }
+                ++vec_idx;
+                i64 r = right(top.first);
+                stack.pop_back();
+                if (r < size()) stack.emplace_back(r, false);
+            }
+        }
+        for (i64 i = size() - 1; i > 0; --i) {
+            i64 par = parent(i);
+            for (int c = 0; c < NCH; ++c) {
+                if (value[c][submax[c][i]] > value[c][submax[c][par]])
+                    submax[c][par] = submax[c][i];
+            }
+        }
+    }
+
+    void reidentify(int c, i64 x) {
+        i64 nm = x;
+        i64 l = left(x), r = right(x);
+        if (l < size() && value[c][submax[c][l]] > value[c][nm]) nm = submax[c][l];
+        if (r < size() && value[c][submax[c][r]] > value[c][nm]) nm = submax[c][r];
+        submax[c][x] = nm;
+    }
+
+    void update(int c, i64 i, const CrossVal& nv) {
+        auto& val = value[c];
+        auto& sm = submax[c];
+        if (nv > val[sm[i]]) {
+            sm[i] = i;
+            i64 here = i;
+            while (here != 0) {
+                here = parent(here);
+                if (nv > val[sm[here]]) sm[here] = i;
+                else break;
+            }
+            val[i] = nv;
+        } else {
+            val[i] = nv;
+            if (sm[i] == i) {
+                reidentify(c, i);
+                i64 here = i;
+                while (here != 0) {
+                    here = parent(here);
+                    if (sm[here] != i) break;
+                    reidentify(c, here);
+                }
+            }
+        }
+    }
+
+    i64 range_max(int c, const K& lo, const K& hi) const {
+        const auto& val = value[c];
+        const auto& sm = submax[c];
+        i64 cursor = 0;
+        while (cursor < size() && (key[cursor] < lo || key[cursor] >= hi)) {
+            cursor = (key[cursor] >= lo) ? left(cursor) : right(cursor);
+        }
+        if (cursor >= size()) return size();
+        i64 max_idx = cursor;
+        i64 rc = right(cursor), lc = left(cursor);
+        while (lc < size()) {
+            if (key[lc] >= lo) {
+                if (val[lc] > val[max_idx]) max_idx = lc;
+                i64 r = right(lc);
+                if (r < size() && val[sm[r]] > val[max_idx]) max_idx = sm[r];
+                lc = left(lc);
+            } else {
+                lc = right(lc);
+            }
+        }
+        while (rc < size()) {
+            if (key[rc] < hi) {
+                if (val[rc] > val[max_idx]) max_idx = rc;
+                i64 l = left(rc);
+                if (l < size() && val[sm[l]] > val[max_idx]) max_idx = sm[l];
+                rc = right(rc);
+            } else {
+                rc = left(rc);
+            }
+        }
+        return max_idx;
+    }
+};
+
 // ------------------------------------------- orthogonal max search tree
 
 // Replica of OrthogonalMaxSearchTree: outer tree over (key1, key2) with
@@ -585,6 +715,218 @@ struct OrthoTreeP {
         }
         if (max_at_iter) {
             *out_idx = max_tree->value[max_iter].second;
+            return true;
+        }
+        return false;
+    }
+};
+
+// multi-channel orthogonal tree: shared keys/layout/positions, NCH values
+template <typename K1, typename K2, int NCH>
+struct MultiOrthoTreeP {
+    using CrossVal = std::pair<f32, i64>;
+    std::vector<K1> key1;
+    std::vector<K2> key2;
+    std::array<std::vector<f32>, NCH> value;
+    std::vector<MultiMaxTreeP<K2, NCH>> cross;
+    std::vector<std::vector<std::pair<i64, i64>>> cross_pos;
+
+    static inline i64 left(i64 x) { return 2 * x + 1; }
+    static inline i64 right(i64 x) { return 2 * x + 2; }
+    static inline i64 parent(i64 x) { return (x - 1) / 2; }
+    inline i64 size() const { return (i64)key1.size(); }
+
+    void build(std::vector<std::tuple<K1, K2, f32>>& data) {
+        i64 n = (i64)data.size();
+        key1.resize(n);
+        key2.resize(n);
+        for (int c = 0; c < NCH; ++c) value[c].resize(n);
+        cross.resize(n);
+        cross_pos.assign(n, {});
+        if (!n) return;
+        std::stable_sort(data.begin(), data.end());
+        std::vector<i64> indexes(n);
+        {
+            i64 vec_idx = 0;
+            std::vector<std::pair<i64, bool>> stack;
+            stack.emplace_back(0, false);
+            while (!stack.empty()) {
+                auto& top = stack.back();
+                if (!top.second) {
+                    top.second = true;
+                    i64 l = left(top.first);
+                    if (l < n) stack.emplace_back(l, false);
+                } else {
+                    indexes[vec_idx] = top.first;
+                    key1[top.first] = std::get<0>(data[vec_idx]);
+                    key2[top.first] = std::get<1>(data[vec_idx]);
+                    for (int c = 0; c < NCH; ++c)
+                        value[c][top.first] = std::get<2>(data[vec_idx]);
+                    ++vec_idx;
+                    i64 r = right(top.first);
+                    stack.pop_back();
+                    if (r < n) stack.emplace_back(r, false);
+                }
+            }
+        }
+        std::vector<bool> make_cross(n, true);
+        for (i64 c = 0; c < n; c = left(c)) make_cross[c] = false;
+        for (i64 c = right(0); c < n; c = right(c)) make_cross[c] = false;
+
+        struct Frame {
+            i64 node;
+            std::vector<std::tuple<K1, K2, f32>> vals;
+            std::vector<i64> idxs;
+        };
+        std::vector<Frame> stack;
+        stack.push_back({0, data, std::move(indexes)});
+        while (!stack.empty()) {
+            Frame fr = std::move(stack.back());
+            stack.pop_back();
+            i64 nno = fr.node;
+            std::tuple<K1, K2, f32> pivot(key1[nno], key2[nno],
+                                          value[0][nno]);
+            std::vector<std::tuple<K1, K2, f32>> lv, rv;
+            std::vector<i64> li, ri;
+            std::vector<std::pair<K2, CrossVal>> cvals;
+            cvals.reserve(fr.vals.size());
+            for (size_t i = 0; i < fr.vals.size(); ++i) {
+                const auto& val = fr.vals[i];
+                cvals.emplace_back(std::get<1>(val),
+                                   CrossVal(std::get<2>(val), fr.idxs[i]));
+                if (val < pivot) {
+                    lv.push_back(val);
+                    li.push_back(fr.idxs[i]);
+                } else if (val > pivot) {
+                    rv.push_back(val);
+                    ri.push_back(fr.idxs[i]);
+                }
+            }
+            if (make_cross[nno]) {
+                cross[nno].build(cvals);
+                for (i64 pos = 0; pos < cross[nno].size(); ++pos) {
+                    cross_pos[cross[nno].value[0][pos].second].emplace_back(
+                        nno, pos);
+                }
+            }
+            i64 l = left(nno);
+            if (l < n) {
+                stack.push_back({l, std::move(lv), std::move(li)});
+                i64 r = right(nno);
+                if (r < n) stack.push_back({r, std::move(rv), std::move(ri)});
+            }
+        }
+    }
+
+    i64 find(const K1& k1, const K2& k2) const {
+        i64 cursor = 0;
+        while (cursor < size()) {
+            if (key1[cursor] == k1 && key2[cursor] == k2) return cursor;
+            if (std::pair<K1, K2>(key1[cursor], key2[cursor]) >
+                std::pair<K1, K2>(k1, k2))
+                cursor = left(cursor);
+            else
+                cursor = right(cursor);
+        }
+        return size();
+    }
+
+    void update(int c, i64 i, f32 nv) {
+        value[c][i] = nv;
+        for (const auto& ap : cross_pos[i]) {
+            cross[ap.first].update(c, ap.second, CrossVal(nv, i));
+        }
+    }
+
+    bool range_max(int ch, const K1& lo1, const K1& hi1, const K2& lo2,
+                   const K2& hi2, i64* out_idx) const {
+        const auto& val = value[ch];
+        i64 cursor = 0;
+        while (cursor < size() && (key1[cursor] < lo1 || key1[cursor] >= hi1)) {
+            cursor = (key1[cursor] >= hi1) ? left(cursor) : right(cursor);
+        }
+        if (cursor >= size()) return false;
+        bool max_at_idx = false, max_at_iter = false;
+        i64 max_idx = -1;
+        const MultiMaxTreeP<K2, NCH>* max_tree = nullptr;
+        i64 max_iter = -1;
+        if (key2[cursor] >= lo2 && key2[cursor] < hi2) {
+            max_at_idx = true;
+            max_idx = cursor;
+        }
+        auto cur_val = [&]() -> f32 {
+            return max_at_idx ? val[max_idx]
+                              : max_tree->value[ch][max_iter].first;
+        };
+        i64 rc = right(cursor), lc = left(cursor);
+        while (lc < size()) {
+            if (key1[lc] >= lo1) {
+                if (key2[lc] >= lo2 && key2[lc] < hi2) {
+                    bool better = (!max_at_idx && !max_at_iter) ||
+                                  val[lc] > cur_val();
+                    if (better) {
+                        max_idx = lc;
+                        max_at_idx = true;
+                        max_at_iter = false;
+                    }
+                }
+                i64 r = right(lc);
+                if (r < size() && !cross[r].empty()) {
+                    i64 it = cross[r].range_max(ch, lo2, hi2);
+                    if (it != cross[r].size()) {
+                        f32 v = cross[r].value[ch][it].first;
+                        bool better = (!max_at_idx && !max_at_iter) ||
+                                      v > cur_val();
+                        if (better) {
+                            max_tree = &cross[r];
+                            max_iter = it;
+                            max_at_idx = false;
+                            max_at_iter = true;
+                        }
+                    }
+                }
+                lc = left(lc);
+            } else {
+                lc = right(lc);
+            }
+        }
+        while (rc < size()) {
+            if (key1[rc] < hi1) {
+                if (key2[rc] >= lo2 && key2[rc] < hi2) {
+                    bool better = (!max_at_idx && !max_at_iter) ||
+                                  val[rc] > cur_val();
+                    if (better) {
+                        max_idx = rc;
+                        max_at_idx = true;
+                        max_at_iter = false;
+                    }
+                }
+                i64 l = left(rc);
+                if (l < size() && !cross[l].empty()) {
+                    i64 it = cross[l].range_max(ch, lo2, hi2);
+                    if (it != cross[l].size()) {
+                        f32 v = cross[l].value[ch][it].first;
+                        bool better = (!max_at_idx && !max_at_iter) ||
+                                      v > cur_val();
+                        if (better) {
+                            max_tree = &cross[l];
+                            max_iter = it;
+                            max_at_idx = false;
+                            max_at_iter = true;
+                        }
+                    }
+                }
+                rc = right(rc);
+            } else {
+                rc = left(rc);
+            }
+        }
+        if (max_at_idx) {
+            *out_idx = max_idx;
+            return true;
+        }
+        if (max_at_iter) {
+            *out_idx = max_tree->value[ch][max_iter].second;
             return true;
         }
         return false;
@@ -1051,18 +1393,14 @@ static i64 affine_impl(
     });
 
     lap("bookkeeping");
-    // ------------- ortho trees [2*NumPW][C1][C2]; K1 = (shift, id) pair
-    using OrthoT = OrthoTreeP<key_t, u64>;
-    std::vector<std::vector<std::vector<OrthoT>>> search_trees(2 * NumPW);
-    for (int pw = 0; pw < 2 * NumPW; ++pw) {
-        search_trees[pw].resize(C1);
-        for (i64 a = 0; a < C1; ++a) search_trees[pw][a].resize(C2);
-    }
+    // ------------- ortho trees: one multi-channel tree per (p1, p2) with
+    // 2*NumPW value channels (shared keys/layout; independent values)
+    using OrthoT = MultiOrthoTreeP<key_t, u64, 2 * NumPW>;
+    std::vector<std::vector<OrthoT>> search_trees(C1);
     for (i64 a = 0; a < C1; ++a) {
+        search_trees[a].resize(C2);
         for (i64 b = 0; b < C2; ++b) {
-            search_trees[0][a][b].build(tree_data[a][b]);
-            for (int pw = 1; pw < 2 * NumPW; ++pw)
-                search_trees[pw][a][b] = search_trees[0][a][b];
+            search_trees[a][b].build(tree_data[a][b]);
             tree_data[a][b].clear();
             tree_data[a][b].shrink_to_fit();
         }
@@ -1149,22 +1487,26 @@ static i64 affine_impl(
                         }
                         tree.update(it, dp_val);
                     }
-                    for (int pw = 0; pw < 2 * NumPW; ++pw) {
-                        f32 value;
-                        if (pw % 2 == 1) {
-                            value = f32(dp_val + local_scale *
-                                        gap_extend[pw / 2] * (double)shift);
-                        } else {
-                            value = f32(dp_val - local_scale *
-                                        gap_extend[pw / 2] * (double)shift);
-                        }
-                        auto& tree = search_trees[pw][p1][p2];
+                    {
+                        auto& tree = search_trees[p1][p2];
                         i64 node = tree.find(key1, key2);
                         if (node >= tree.size()) {
-                            fprintf(stderr, "ORTHO FIND FAIL id=%llu\n", (unsigned long long)id);
+                            fprintf(stderr, "ORTHO FIND FAIL id=%llu\n",
+                                    (unsigned long long)id);
                             abort();
                         }
-                        if (value > tree.value[node]) tree.update(node, value);
+                        for (int pw = 0; pw < 2 * NumPW; ++pw) {
+                            f32 value;
+                            if (pw % 2 == 1) {
+                                value = f32(dp_val + local_scale *
+                                            gap_extend[pw / 2] * (double)shift);
+                            } else {
+                                value = f32(dp_val - local_scale *
+                                            gap_extend[pw / 2] * (double)shift);
+                            }
+                            if (value > tree.value[pw][node])
+                                tree.update(pw, node, value);
+                        }
                     }
                 }
             }
@@ -1194,23 +1536,23 @@ static i64 affine_impl(
                             }
                         }
                     }
+                    auto& tree = search_trees[chain1][chain2];
                     for (int pw = 0; pw < 2 * NumPW; ++pw) {
-                        auto& tree = search_trees[pw][chain1][chain2];
                         i64 oi;
                         if (pw % 2 == 1) {
-                            if (tree.range_max(
+                            if (tree.range_max(pw,
                                     key_t(std::numeric_limits<IntShiftT>::min(), 0),
                                     key_t(query, 0),
                                     0, offset, &oi)) {
                                 f32 value = f32(
-                                    (double)f32(tree.value[oi] + weight) -
+                                    (double)f32(tree.value[pw][oi] + weight) -
                                     local_scale * (gap_open[pw / 2] +
                                                    gap_extend[pw / 2] *
                                                        (double)query));
                                 bank.update_dp(id, value, tree.key1[oi].second);
                             }
                         } else {
-                            if (tree.range_max(
+                            if (tree.range_max(pw,
                                     key_t(IntShiftT(
                                         (typename std::make_unsigned<IntShiftT>::type)
                                             query + 1), 0),
@@ -1218,7 +1560,7 @@ static i64 affine_impl(
                                           ID_MAX),
                                     0, offset, &oi)) {
                                 f32 value = f32(
-                                    (double)f32(tree.value[oi] + weight) -
+                                    (double)f32(tree.value[pw][oi] + weight) -
                                     local_scale * (gap_open[pw / 2] -
                                                    gap_extend[pw / 2] *
                                                        (double)query));
