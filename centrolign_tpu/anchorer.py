@@ -277,8 +277,8 @@ class Anchorer:
             matches, graph1, graph2, fill_in_graphs)
         budgets = self._assign_reanchor_budget(fill_in_graphs)
 
-        fill_in_anchors = []
-        for i, (sub1, sub2) in enumerate(fill_in_graphs):
+        def chain_one(i):
+            sub1, sub2 = fill_in_graphs[i]
             xm1 = PathMerge(sub1.subgraph)
             xm2 = PathMerge(sub2.subgraph)
             fi_masked = None
@@ -289,11 +289,28 @@ class Anchorer:
                         for idx2, oi2 in enumerate(w2s):
                             if (orig_set, oi1, oi2) in masked_matches:
                                 fi_masked.add((fset, idx1, idx2))
-            fill_in_anchors.append(self._chain_core(
+            return self._chain_core(
                 fill_in_matches[i], sub1.subgraph, sub2.subgraph, xm1, xm2,
                 list(sub1.sources), list(sub2.sources),
                 list(sub1.sinks), list(sub2.sinks),
-                budgets[i], algorithm, scale, fi_masked))
+                budgets[i], algorithm, scale, fi_masked)
+
+        # per-gap chains are independent; the native engines release the GIL
+        # (the reference runs these serially, src/execution.cpp — this is
+        # the host-parallelism it leaves on the table)
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        workers = min(
+            int(os.environ.get("CENTROLIGN_TPU_THREADS",
+                               str(os.cpu_count() or 1))),
+            max(1, len(fill_in_graphs)))
+        if workers > 1 and len(fill_in_graphs) > 4:
+            with ThreadPoolExecutor(workers) as pool:
+                fill_in_anchors = list(pool.map(chain_one,
+                                                range(len(fill_in_graphs))))
+        else:
+            fill_in_anchors = [chain_one(i)
+                               for i in range(len(fill_in_graphs))]
 
         self._merge_fill_in_chains(anchors, fill_in_anchors, fill_in_graphs,
                                    match_origin)
