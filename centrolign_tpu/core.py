@@ -153,37 +153,39 @@ class Core:
 
     def restart(self) -> None:
         """Reload completed subproblems from -S checkpoint GFAs
-        (reference src/execution.cpp:223-279, src/core.cpp:1071-1081)."""
+        (reference src/execution.cpp:223-279, src/core.cpp:1071-1081).
+        Leaf graphs are preserved when calibration will need them."""
+        preserve_leaves = self.preserve_subproblems or not self.skip_calibration
+        preserve_internal = self.preserve_subproblems
         ex = self.main_execution
         tree = ex.tree
-        # preorder walk; if a subproblem's GFA exists, load it and mark the
-        # whole subtree complete
         for node_id in tree.preorder():
-            if tree.is_leaf(node_id):
+            sub = ex.subproblems[node_id]
+            if sub.complete:
                 continue
             path = self._subproblem_path(node_id)
             if os.path.exists(path):
-                sub = ex.subproblems[node_id]
-                if sub.complete:
-                    continue
                 with open(path) as f:
                     sub.graph = read_gfa(f)
                 sub.tableau = add_sentinels(sub.graph, 5, 6)
                 sub.complete = True
-                # mark descendants complete and drop their graphs
+                # mark descendants complete; drop graphs we won't need
                 stack = list(tree.get_children(node_id))
                 while stack:
                     v = stack.pop()
                     dsub = ex.subproblems[v]
                     dsub.complete = True
-                    dsub.graph = None
+                    is_leaf = tree.is_leaf(v)
+                    if not (preserve_leaves and is_leaf) and not (
+                            preserve_internal and not is_leaf):
+                        dsub.graph = None
                     stack.extend(tree.get_children(v))
                 logmod.log(logmod.Verbose,
                            f"Restarted subproblem {os.path.basename(path)}")
 
     def _subproblem_path(self, node_id: int) -> str:
-        return (f"{self.subproblems_prefix}_"
-                f"{self.main_execution.subproblem_hash(node_id)}.gfa")
+        h = self.main_execution.subproblem_hash(node_id)
+        return f"{self.subproblems_prefix}_{h:016X}.gfa"
 
     def emit_subproblem(self, sub: Subproblem) -> None:
         """Write a completed subproblem as GFA + info line (reference
@@ -192,14 +194,14 @@ class Core:
         path = self._subproblem_path(node_id)
         with open(path, "w") as f:
             write_gfa(sub.graph, sub.tableau, f)
-        info_path = f"{self.subproblems_prefix}_info.tsv"
+        info_path = f"{self.subproblems_prefix}_info.txt"
         new_file = not os.path.exists(info_path)
         with open(info_path, "a") as f:
             if new_file:
-                f.write("file\tsequences\n")
+                f.write("filename\tsequences\n")
             names = ",".join(sorted(
                 self.main_execution.leaf_descendents(node_id)))
-            f.write(f"{os.path.basename(path)}\t{names}\n")
+            f.write(f"{path}\t{names}\n")
 
     def emit_subalignment(self, parent, sub1, sub2) -> None:
         with open(self.subalignments_filepath, "a") as f:

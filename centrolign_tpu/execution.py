@@ -104,14 +104,26 @@ class Execution:
                 stack.extend(self.tree.get_children(v))
         return names
 
-    def subproblem_hash(self, node_id: int) -> str:
-        """Order-independent digest of the contained sequence names
-        (reference src/execution.cpp:190-203 uses a sum of per-name hashes;
-        we use XOR of sha1s, which has the same order-independence)."""
-        acc = 0
-        for name in self.leaf_descendents(node_id):
-            acc ^= int.from_bytes(hashlib.sha1(name.encode()).digest()[:8], "little")
-        return format(acc, "016x")
+    def subproblem_hash(self, node_id: int) -> int:
+        """The reference's digest of the sorted contained sequence names
+        (src/execution.cpp:190-203; hash_combine from utility.hpp:357-360
+        with libstdc++ identity integer hashing), so checkpoint filenames
+        interoperate with reference-produced checkpoints."""
+        M = (1 << 64) - 1
+
+        def combine(seed: int, v: int) -> int:
+            return (seed ^ ((v + 0x9e3779b9 + ((seed << 6) & M)
+                             + (seed >> 2)) & M)) & M
+
+        h = 660422875706093811
+        for name in sorted(self.leaf_descendents(node_id)):
+            h = combine(h, 2110260111091729000)
+            for c in name.encode():
+                # std::hash<char> of a (signed) char value
+                cv = c if c < 128 else c - 256
+                h = combine(h, cv & M)
+            # note: negative chars wrap to 2^64 like size_t conversion
+        return h
 
     def independent_layers(self):
         """Group the execution order into dependency layers: all subproblems
