@@ -245,3 +245,107 @@ def fuse(dest: BaseGraph, source: BaseGraph,
         dest.extend_path_array(new_pid, trans[source.path(pid)])
 
     return trans
+
+
+class UnionFind:
+    """Union-by-rank with path compression, replicating the reference's
+    root-selection ties (union_find.hpp:44-77) so that group enumeration
+    order matches."""
+
+    def __init__(self, n: int):
+        self.head = list(range(n))
+        self.rank = [0] * n
+
+    def find(self, i: int) -> int:
+        path = []
+        while self.head[i] != i:
+            path.append(i)
+            i = self.head[i]
+        for p in range(1, len(path)):
+            self.head[path[p - 1]] = i
+        return i
+
+    def union(self, i: int, j: int) -> None:
+        hi, hj = self.find(i), self.find(j)
+        if hi == hj:
+            return
+        if self.rank[hi] > self.rank[hj]:
+            self.head[hj] = hi
+        else:
+            self.head[hi] = hj
+            if self.rank[hj] == self.rank[hi]:
+                self.rank[hj] += 1
+
+    def groups(self):
+        """Groups ordered by root id ascending, members ascending
+        (union_find.hpp:79-88)."""
+        out = {}
+        for i in range(len(self.head)):
+            out.setdefault(self.find(i), []).append(i)
+        return [out[r] for r in sorted(out)]
+
+
+def internal_fuse(graph: BaseGraph, alignments, tableau_in=None,
+                  alignment_in=None):
+    """Merge the graph with itself along self-alignments (reference
+    fuse.hpp:145-243): aligned pairs union transitively; each group becomes
+    one node per distinct label (label-sorted); edges dedup; paths rewalked.
+
+    Returns (fused graph, tableau_out or None, alignment_out or None)."""
+    V = graph.node_size
+    uf = UnionFind(V)
+    for aln in alignments:
+        for a, b in aln:
+            if a != GAP and b != GAP:
+                uf.union(int(a), int(b))
+
+    fused = BaseGraph()
+    trans = np.full(V, -1, dtype=np.int64)
+    labels = graph.labels
+    for group in uf.groups():
+        by_label = {}
+        for v in group:
+            by_label.setdefault(int(labels[v]), []).append(v)
+        for lab in sorted(by_label):
+            nid = fused.add_node(lab)
+            for v in by_label[lab]:
+                trans[v] = nid
+
+    tableau_out = None
+    if tableau_in is not None:
+        from .modify_graph import SentinelTableau
+        tableau_out = SentinelTableau(
+            src_id=int(trans[tableau_in.src_id]),
+            snk_id=int(trans[tableau_in.snk_id]),
+            src_sentinel=tableau_in.src_sentinel,
+            snk_sentinel=tableau_in.snk_sentinel)
+
+    seen = [set() for _ in range(fused.node_size)]
+    ef, et = [], []
+    nptr, nind = graph.next_csr()
+    for v in range(V):
+        fv = int(trans[v])
+        bucket = seen[fv]
+        for k in range(nptr[v], nptr[v + 1]):
+            fn = int(trans[nind[k]])
+            if fn not in bucket:
+                bucket.add(fn)
+                ef.append(fv)
+                et.append(fn)
+    if ef:
+        fused.add_edges(np.array(ef, dtype=np.int64),
+                        np.array(et, dtype=np.int64))
+
+    for pid in range(graph.path_size):
+        fp = fused.add_path(graph.path_name(pid))
+        fused.extend_path_array(fp, trans[graph.path(pid)])
+
+    alignment_out = None
+    if alignment_in is not None and len(alignment_in):
+        alignment_out = np.asarray(alignment_in, dtype=np.int64).copy()
+        m1 = alignment_out[:, 0] != GAP
+        m2 = alignment_out[:, 1] != GAP
+        alignment_out[m1, 0] = trans[alignment_out[m1, 0]]
+        alignment_out[m2, 1] = trans[alignment_out[m2, 1]]
+
+    return fused, tableau_out, alignment_out

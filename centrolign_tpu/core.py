@@ -19,7 +19,8 @@ import numpy as np
 
 from . import logging as logmod
 from .anchorer import Anchorer, ChainAlgorithm
-from .alignment import fuse, cigar as cigar_of
+from .alignment import fuse, internal_fuse, cigar as cigar_of
+from .bonder import Bonder
 from .execution import Execution, Subproblem
 from .match_finder import find_matches, MatchSet
 from .modify_graph import SentinelTableau, reassign_sentinels
@@ -38,7 +39,9 @@ class Core:
         self.anchorer = Anchorer(score_function=self.score_function)
         self.partitioner = Partitioner(score_function=self.score_function)
         self.stitcher = Stitcher()
+        self.bonder = Bonder()
         self.main_execution = Execution(names_and_sequences, tree)
+        self.max_tandem_duplication_search_rounds = 3
 
         # params pushed in by config (reference parameters.cpp apply())
         self.max_count = 3000
@@ -55,21 +58,30 @@ class Core:
     # ------------------------------------------------------------------
 
     def execute(self) -> None:
+        bond_alignments = []
         if not self.skip_calibration or self.cyclize_tandem_duplications:
-            self.calibrate_anchor_scores()
+            bond_alignments = self.calibrate_anchor_scores_and_identify_bonds()
         logmod.log(logmod.Minimal, "Beginning MSA.")
         self.do_execution(self.main_execution, is_main_execution=True)
         if self.induced_pairwise_prefix:
             self.output_pairwise_alignments(False)
         if self.cyclize_tandem_duplications:
-            raise NotImplementedError(
-                "cyclic tandem-duplication mode (-c) is not implemented yet")
+            self.apply_bonds(bond_alignments)
 
-    def calibrate_anchor_scores(self) -> None:
-        """(reference src/core.cpp:96-194, calibration part only)"""
-        logmod.log(logmod.Basic, "Calibrating scale of anchoring parameters.")
+    def calibrate_anchor_scores_and_identify_bonds(self):
+        """(reference src/core.cpp:96-299). Returns bond alignments (list of
+        (path name, alignment in path-offset coordinates))."""
+        from .path_merge import ChainMerge
+        logmod.log(logmod.Basic,
+                   "Calibrating scale of anchoring parameters."
+                   if not self.cyclize_tandem_duplications else
+                   "Calibrating scale of anchoring parameters and "
+                   "identifying tandem duplications.")
         scales = []
-        for i, sub in enumerate(self.main_execution.leaf_subproblems()):
+        bond_alns = []
+        match_query_memo = []
+        leaves = list(self.main_execution.leaf_subproblems())
+        for i, sub in enumerate(leaves):
             logmod.log(logmod.Verbose,
                        f"Estimating scale for sequence {i + 1}.")
             reassign_sentinels(sub.graph, sub.tableau, 5, 6)
@@ -85,15 +97,206 @@ class Core:
                         walks1=walk[None, :], walks2=walk[None, :],
                         count1=ms.count1, count2=ms.count2,
                         full_length=ms.full_length))
-            xm = PathMerge(sub.graph, sub.tableau)
+            xm = ChainMerge(sub.graph, sub.tableau)
+            chain_out = []
             scale = self.anchorer.estimate_score_scale(
-                diagonal, sub.graph, sub.graph, sub.tableau, sub.tableau,
-                xm, xm)
+                diagonal, sub.graph, sub.graph, sub.tableau, dummy,
+                xm, xm, chain_out=chain_out)
             scales.append(scale)
             logmod.log(logmod.Debug,
                        f"Computed intrinsic scale of {scale} for sequence {sub.name}")
+            if self.cyclize_tandem_duplications:
+                match_query_memo.append((matches, chain_out))
         if not self.skip_calibration and scales:
             self.score_function.score_scale = float(np.mean(scales))
+
+        if self.cyclize_tandem_duplications:
+            from .extractor import StepIndex
+            for i, sub in enumerate(leaves):
+                path_merge = PathMerge(sub.graph, sub.tableau)
+                matches, chain = match_query_memo[i]
+                mask = self.generate_diagonal_mask(matches)
+                logmod.log(logmod.Debug,
+                           f"Initial mask consists of {len(mask)} matches")
+                step_index = None
+                bonds_identified = 0
+                for rnd in range(self.max_tandem_duplication_search_rounds):
+                    logmod.log(
+                        logmod.Verbose,
+                        f"Beginning round {rnd + 1} of tandem duplication "
+                        f"detection for sequence {sub.name}.")
+                    secondary_chain = self.anchorer.anchor_chain(
+                        matches, sub.graph, sub.graph, sub.tableau,
+                        sub.tableau, path_merge, path_merge,
+                        masked_matches=mask,
+                        override_scale=scales[i])
+                    bonds = self.bonder.identify_bonds(
+                        sub.graph, sub.graph, sub.tableau, sub.tableau,
+                        path_merge, path_merge, chain, secondary_chain)
+                    bonds = self.bonder.deduplicate_self_bonds(bonds)
+                    logmod.log(logmod.Verbose,
+                               f"Found {len(bonds)} tandem duplications in "
+                               "this round.")
+                    if not bonds:
+                        break
+                    if step_index is None:
+                        step_index = StepIndex(sub.graph)
+                    for bond in bonds:
+                        bond_chain = self.bonds_to_chain(sub.graph, bond)
+                        aln = self.stitcher.internal_stitch(
+                            bond_chain, sub.graph, path_merge)
+                        if self.bonds_prefix:
+                            self.output_bond_alignment(
+                                aln, sub.graph, 0, bonds_identified)
+                        aln = aln.copy()
+                        for r in range(len(aln)):
+                            if aln[r, 0] != -1:
+                                aln[r, 0] = step_index.path_steps(
+                                    int(aln[r, 0]))[0][1]
+                            if aln[r, 1] != -1:
+                                aln[r, 1] = step_index.path_steps(
+                                    int(aln[r, 1]))[0][1]
+                        bond_alns.append((sub.graph.path_name(0), aln))
+                        bonds_identified += 1
+                    if rnd != self.max_tandem_duplication_search_rounds:
+                        self.update_mask(matches, secondary_chain, mask, True)
+                        logmod.log(logmod.Debug,
+                                   f"Updated mask consists of {len(mask)} "
+                                   "matches")
+        return bond_alns
+
+    calibrate_anchor_scores = calibrate_anchor_scores_and_identify_bonds
+
+    # -- cyclization helpers (reference src/core.cpp:301-360, 406-424) ----
+
+    @staticmethod
+    def generate_diagonal_mask(matches):
+        mask = set()
+        for i, ms in enumerate(matches):
+            start_to_idx = {int(w[0]): j for j, w in enumerate(ms.walks1)}
+            for k, w2 in enumerate(ms.walks2):
+                j = start_to_idx.get(int(w2[0]))
+                if j is not None:
+                    mask.add((i, j, k))
+        return mask
+
+    @staticmethod
+    def update_mask(matches, chain, mask, mask_reciprocal=True):
+        paired = {}
+        for a in chain:
+            for i in range(len(a.walk1)):
+                paired[int(a.walk1[i])] = int(a.walk2[i])
+                if mask_reciprocal:
+                    paired[int(a.walk2[i])] = int(a.walk1[i])
+        for i, ms in enumerate(matches):
+            L = ms.walks1.shape[1]
+            walk2_node = [dict() for _ in range(L)]
+            for k, w2 in enumerate(ms.walks2):
+                for l in range(L):
+                    walk2_node[l].setdefault(int(w2[l]), []).append(k)
+            for j, w1 in enumerate(ms.walks1):
+                for l in range(L):
+                    pr = paired.get(int(w1[l]))
+                    if pr is not None:
+                        for k in walk2_node[l].get(pr, ()):
+                            mask.add((i, j, k))
+
+    @staticmethod
+    def bonds_to_chain(graph, bond_interval):
+        from .anchorer import Anchor
+        chain = []
+        for bond in bond_interval:
+            p1 = graph.path(graph.path_id(bond.path1))
+            p2 = graph.path(graph.path_id(bond.path2))
+            chain.append(Anchor(
+                walk1=np.asarray(
+                    p1[bond.offset1:bond.offset1 + bond.length]),
+                walk2=np.asarray(
+                    p2[bond.offset2:bond.offset2 + bond.length]),
+                count1=1, count2=1, full_length=bond.length,
+                score=bond.score))
+        return chain
+
+    def output_bond_alignment(self, aln, graph, path_id, bond_number):
+        """(reference core.hpp:427-501): explicit CIGAR of the bond alignment
+        padded with full-sequence leading/trailing indels."""
+        from .alignment import explicit_cigar, GAP
+        name = (f"{self.bonds_prefix}_{graph.path_name(path_id)}"
+                f"_cigar_{bond_number}.txt")
+        first1 = first2 = last1 = last2 = -1
+        for r in range(len(aln)):
+            if first1 == -1 and aln[r, 0] != -1:
+                first1 = int(aln[r, 0])
+            if first2 == -1 and aln[r, 1] != -1:
+                first2 = int(aln[r, 1])
+            if first1 != -1 and first2 != -1:
+                break
+        for r in range(len(aln) - 1, -1, -1):
+            if last1 == -1 and aln[r, 0] != -1:
+                last1 = int(aln[r, 0])
+            if last2 == -1 and aln[r, 1] != -1:
+                last2 = int(aln[r, 1])
+            if last1 != -1 and last2 != -1:
+                break
+        with open(name, "w") as f:
+            if first1 == -1:
+                f.write("\n")
+                return
+            path = graph.path(path_id)
+            rows = []
+            for v in path:
+                if int(v) == first1:
+                    break
+                rows.append((int(v), GAP))
+            for v in path:
+                if int(v) == first2:
+                    break
+                rows.append((GAP, int(v)))
+            rows.extend((int(a), int(b)) for a, b in aln)
+            tail = []
+            for v in path[::-1]:
+                if int(v) == last2:
+                    break
+                tail.append((GAP, int(v)))
+            for v in path[::-1]:
+                if int(v) == last1:
+                    break
+                tail.append((int(v), GAP))
+            rows.extend(reversed(tail))
+            padded = np.array(rows, dtype=np.int64).reshape(-1, 2)
+            f.write(explicit_cigar(padded, graph.labels, graph.labels)
+                    + "\n")
+
+    def apply_bonds(self, bond_alignments) -> None:
+        """(reference src/core.cpp:594-648). Known gap: the post-cyclization
+        polish pass (snarl-based simplify_bubbles + inconsistency
+        realignment, src/core.cpp:650-767) is not implemented yet."""
+        if not bond_alignments:
+            return
+        logmod.log(logmod.Basic, "Cyclizing the final graph.")
+        root = self.root_subproblem()
+        alns = []
+        for (path_name, aln) in bond_alignments:
+            pid = root.graph.path_id(path_name)
+            path = root.graph.path(pid)
+            aln = aln.copy()
+            m1 = aln[:, 0] != -1
+            m2 = aln[:, 1] != -1
+            aln[m1, 0] = path[aln[m1, 0]]
+            aln[m2, 1] = path[aln[m2, 1]]
+            alns.append(aln)
+        fused, tab, _ = internal_fuse(root.graph, alns, root.tableau)
+        logmod.log(logmod.Debug,
+                   f"Cyclized graph reduces from {root.graph.node_size} to "
+                   f"{fused.node_size} nodes after merging.")
+        root.graph = fused
+        root.tableau = tab
+        root.alignment = np.empty((0, 2), dtype=np.int64)
+        logmod.log(logmod.Minimal,
+                   "NOTE: post-cyclization polish (simplify_bubbles + "
+                   "inconsistency realignment) is not yet implemented; the "
+                   "cyclized graph is emitted unpolished.")
+
 
     def do_execution(self, execution: Execution, is_main_execution: bool) -> None:
         while not execution.finished():

@@ -137,6 +137,13 @@ def get_lib() -> ctypes.CDLL:
          ctypes.c_int64, I64P,
          ctypes.c_int64, I64P, ctypes.POINTER(ctypes.c_double)])
     DP = ctypes.POINTER(ctypes.c_double)
+    lib.bonder_dev_constrained_partition.restype = ctypes.c_int64
+    lib.bonder_dev_constrained_partition.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), I64P,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        I64P]
     lib.superbubbles_build.restype = ctypes.c_int64
     lib.superbubbles_build.argtypes = (
         [ctypes.c_int64] + [I64P] * 4 + [ctypes.c_int64, ctypes.c_int64] +
@@ -714,3 +721,23 @@ class SuperbubbleTree:
     def chain_min_max_dist(self, chain_id: int):
         return (int(self.chain_dists[chain_id, 0]),
                 int(self.chain_dists[chain_id, 1]))
+
+
+def bonder_partition(shared, intervening, deviation, separation,
+                     min_opt_proportion, min_length, deviation_drift,
+                     separation_drift):
+    """Native longest_deviation_constrained_partition. Returns list of
+    (begin, end) interval pairs."""
+    lib = get_lib()
+    n = len(shared)
+    shared = np.ascontiguousarray(shared, dtype=np.float64)
+    intervening = np.ascontiguousarray(intervening, dtype=np.float64)
+    deviation = np.ascontiguousarray(deviation, dtype=np.int64)
+    separation = np.ascontiguousarray(separation, dtype=np.float64)
+    out = np.empty((n + 1, 2), dtype=np.int64)
+    m = lib.bonder_dev_constrained_partition(
+        n, _ptr_f64(shared), _ptr_f64(intervening), _ptr_i64(deviation),
+        _ptr_f64(separation), 1,
+        float(min_opt_proportion), float(min_length),
+        float(deviation_drift), float(separation_drift), _ptr_i64(out))
+    return [(int(a), int(b)) for a, b in out[:m]]

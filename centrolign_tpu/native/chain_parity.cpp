@@ -1789,3 +1789,86 @@ void ref_topological_order(i64 V, const i64* nptr, const i64* nind,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Bonder::longest_deviation_constrained_partition (reference
+// src/bonder.cpp:802-920): O(n^2) DP over shared segments with score,
+// deviation-drift, and separation constraints. separation[i] < 0 encodes
+// the reference's "skip this i" (-1 oracle misses) — mininf otherwise
+// computed by the caller. Returns number of intervals written to out (pairs).
+i64 bonder_dev_constrained_partition(
+        i64 n, const double* shared,        // (n, 3) len, opt, sec
+        const double* intervening,          // (n-1, 3)
+        const i64* deviation,               // (n-1, 2)
+        const double* separation,           // (n,) or null
+        int use_separation,
+        double min_opt_proportion, double min_length,
+        double deviation_drift_factor, double separation_drift_factor,
+        i64* out_pairs) {
+    const double mininf = std::numeric_limits<double>::lowest();
+    std::vector<std::pair<double, double>> dp(n + 1,
+                                              {mininf, mininf});
+    dp.front() = {0.0, 0.0};
+    std::vector<i64> backpointer(n + 1, -1);
+    i64 tb_idx = 0;
+    for (i64 i = 1; i <= n; ++i) {
+        dp[i].first = std::max(dp[i - 1].first, dp[i - 1].second);
+        double sep = mininf;
+        if (use_separation) {
+            if (separation[i - 1] < 0) continue;  // oracle found no distance
+            sep = separation[i - 1];
+        }
+        double running_length = 0.0, running_opt = 0.0, running_sec = 0.0;
+        i64 run_opt_dev = 0, run_sec_dev = 0, min_dd = 0, max_dd = 0;
+        for (i64 j = i - 1; j >= 0; --j) {
+            running_length += shared[3 * j];
+            running_opt += shared[3 * j + 1];
+            running_sec += shared[3 * j + 2];
+            if (j + 1 != i) {
+                running_length += intervening[3 * j];
+                running_opt += intervening[3 * j + 1];
+                running_sec += intervening[3 * j + 2];
+                run_opt_dev += deviation[2 * j];
+                run_sec_dev += deviation[2 * j + 1];
+            }
+            min_dd = std::min(min_dd, run_opt_dev - run_sec_dev);
+            max_dd = std::max(max_dd, run_opt_dev - run_sec_dev);
+            double root_length = sqrt(running_length);
+            if (running_sec >= min_opt_proportion * running_opt &&
+                max_dd - min_dd <= root_length * deviation_drift_factor &&
+                (!use_separation ||
+                 sep >= running_length - root_length * separation_drift_factor)) {
+                double score = dp[j].first + running_length - min_length;
+                if (score > dp[i].second) {
+                    dp[i].second = score;
+                    backpointer[i] = j;
+                }
+            }
+        }
+        if (dp[i].second > dp[tb_idx].second) tb_idx = i;
+    }
+    // PartitionClient::traceback (partition_client.hpp:30-53)
+    std::vector<std::pair<i64, i64>> intervals;
+    i64 i = tb_idx;
+    bool in_interval = true;
+    while (i > 0) {
+        if (in_interval) {
+            i64 j = backpointer[i];
+            intervals.emplace_back(j, i);
+            i = j;
+            in_interval = false;
+        } else {
+            in_interval = (dp[i].first == dp[i - 1].second);
+            --i;
+        }
+    }
+    std::reverse(intervals.begin(), intervals.end());
+    for (size_t k = 0; k < intervals.size(); ++k) {
+        out_pairs[2 * k] = intervals[k].first;
+        out_pairs[2 * k + 1] = intervals[k].second;
+    }
+    return (i64)intervals.size();
+}
+
+}  // extern "C"

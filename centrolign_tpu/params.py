@@ -85,6 +85,13 @@ _REGISTRY = [
     ("InducingCycles", "cyclize_tandem_duplications", "Bool", False, "Identify tandem duplications and induce cycles"),
     ("InducingCycles", "max_tandem_duplication_search_rounds", "Integer", 3, "Max nested tandem duplication rounds"),
     ("InducingCycles", "min_cyclizing_length", "Integer", 100000, "Minimum size of a tandem duplication"),
+    ("InducingCycles", "max_tandem_duplication_search_rounds", "Integer", 3, "The maximum number of nested tandem duplications to attempt finding for any given subsequence"),
+    ("InducingCycles", "tandem_dup_score_proportion", "Double", 0.2, "Minimum proportion of the optimal score for a tandem duplication"),
+    ("InducingCycles", "deviation_drift_factor", "Double", 150.0, "Permissiveness of indel drift in tandem duplications"),
+    ("InducingCycles", "separation_drift_factor", "Double", 50.0, "Permissiveness of deviation from the expected separation"),
+    ("InducingCycles", "trim_window_proportion", "Double", 0.1, "Bond end trim window, as proportion of min_cyclizing_length"),
+    ("InducingCycles", "deduplication_slosh_proportion", "Double", 0.1, "Bond interval matching slack, as proportion of min_cyclizing_length"),
+    ("InducingCycles", "include_tandem_dup_gap_scores", "Bool", True, "Include gap scores in tandem duplication scoring"),
     ("InducingCycles", "tandem_dup_score_proportion", "Double", 0.2, "Required score proportion of self chain"),
     ("InducingCycles", "include_tandem_dup_gap_scores", "Bool", True, "Include gap scores in tandem dup chains"),
     ("InducingCycles", "deviation_drift_factor", "Double", 150.0, "Allowed indel deviation factor"),
@@ -217,6 +224,18 @@ class Parameters:
         a.global_anchoring = self.get("global_anchoring")
         a.do_fill_in_anchoring = self.get("do_fill_in_anchoring")
         a.split_matches_at_branchpoints = self.get("split_matches_at_branchpoints")
+
+        b = core.bonder
+        b.min_length = self.get("min_cyclizing_length")
+        b.min_opt_proportion = self.get("tandem_dup_score_proportion")
+        b.include_gap_scores = self.get("include_tandem_dup_gap_scores")
+        b.deviation_drift_factor = self.get("deviation_drift_factor")
+        b.separation_drift_factor = self.get("separation_drift_factor")
+        b.deduplication_slosh_proportion = self.get(
+            "deduplication_slosh_proportion")
+        b.trim_window_proportion = self.get("trim_window_proportion")
+        core.max_tandem_duplication_search_rounds = self.get(
+            "max_tandem_duplication_search_rounds")
 
         pt = core.partitioner
         pt.constraint_method = ["Null", "Unconstrained", "MinAverage",
