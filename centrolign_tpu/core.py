@@ -407,21 +407,51 @@ class Core:
             f.write(f"{path}\t{names}\n")
 
     def emit_subalignment(self, parent, sub1, sub2) -> None:
+        """(reference src/core.cpp:424-475): per-position table with the
+        sequence-name sets of both children."""
+        from .extractor import StepIndex
+        from .utils.encoding import decode_base
+        ex = self.main_execution
         with open(self.subalignments_filepath, "a") as f:
-            f.write(f"## {sub1.name or 'subproblem'} vs {sub2.name or 'subproblem'}\n")
-            f.write(cigar_of(parent.alignment) + "\n")
+            f.write("# sequence set 1\n")
+            for name in ex.leaf_descendents(ex.subproblems.index(sub1)):
+                f.write(name + "\n")
+            f.write("# sequence set 2\n")
+            for name in ex.leaf_descendents(ex.subproblems.index(sub2)):
+                f.write(name + "\n")
+            si1 = StepIndex(sub1.graph)
+            si2 = StepIndex(sub2.graph)
+            f.write("# alignment\n")
+            for a, b in parent.alignment:
+                if a == -1:
+                    f.write("-\t-\t-")
+                else:
+                    pid, step = si1.path_steps(int(a))[0]
+                    f.write(f"{sub1.graph.path_name(pid)}\t{step}\t"
+                            f"{decode_base(sub1.graph.labels[sub1.graph.path(pid)[step]])}")
+                f.write("\t")
+                if b == -1:
+                    f.write("-\t-\t-")
+                else:
+                    pid, step = si2.path_steps(int(b))[0]
+                    f.write(f"{sub2.graph.path_name(pid)}\t{step}\t"
+                            f"{decode_base(sub2.graph.labels[sub2.graph.path(pid)[step]])}")
+                f.write("\n")
 
     def output_pairwise_alignments(self, cyclic: bool) -> None:
         """Induced pairwise alignments between every path pair of the root
-        graph (reference src/core.cpp:524-591)."""
+        graph (reference src/core.cpp:524-591). Cyclic MAF output is a known
+        round-1 gap (falls back to explicit CIGAR)."""
         from .alignment import induced_pairwise_alignment, explicit_cigar
         root = self.root_subproblem()
         g = root.graph
         for i in range(g.path_size):
             for j in range(i + 1, g.path_size):
+                n1 = g.path_name(i).replace("/", "_")
+                n2 = g.path_name(j).replace("/", "_")
+                ext = ".maf" if cyclic else ".txt"
+                name = f"{self.induced_pairwise_prefix}_{n1}_{n2}{ext}"
                 aln = induced_pairwise_alignment(g, i, j)
-                name = (f"{self.induced_pairwise_prefix}_"
-                        f"{g.path_name(i)}_{g.path_name(j)}.txt")
                 with open(name, "w") as f:
                     lab1 = g.labels[g.path(i)]
                     lab2 = g.labels[g.path(j)]
