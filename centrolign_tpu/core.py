@@ -54,13 +54,21 @@ class Core:
         self.bonds_prefix = ""
         self.memory_restraint_size = 1 << 30
         self.threads = 1
+        self._restarted_bond_alignments = None
 
     # ------------------------------------------------------------------
 
     def execute(self) -> None:
         bond_alignments = []
-        if not self.skip_calibration or self.cyclize_tandem_duplications:
+        if self._restarted_bond_alignments is not None:
+            bond_alignments = self._restarted_bond_alignments
+            if not self.skip_calibration:
+                self.calibrate_anchor_scores_and_identify_bonds()
+        elif not self.skip_calibration or self.cyclize_tandem_duplications:
             bond_alignments = self.calibrate_anchor_scores_and_identify_bonds()
+        if self.cyclize_tandem_duplications and self.subproblems_prefix \
+                and self._restarted_bond_alignments is None:
+            self.emit_restart_bonds(bond_alignments)
         logmod.log(logmod.Minimal, "Beginning MSA.")
         self.do_execution(self.main_execution, is_main_execution=True)
         if self.induced_pairwise_prefix:
@@ -110,7 +118,8 @@ class Core:
         if not self.skip_calibration and scales:
             self.score_function.score_scale = float(np.mean(scales))
 
-        if self.cyclize_tandem_duplications:
+        if (self.cyclize_tandem_duplications
+                and self._restarted_bond_alignments is None):
             from .extractor import StepIndex
             for i, sub in enumerate(leaves):
                 path_merge = PathMerge(sub.graph, sub.tableau)
@@ -354,6 +363,33 @@ class Core:
 
     # ------------------------------------------------------------------
 
+    def emit_restart_bonds(self, bond_alignments) -> None:
+        """(reference src/core.cpp:476-490)"""
+        with open(f"{self.subproblems_prefix}_bonds.txt", "w") as f:
+            for name, aln in bond_alignments:
+                f.write(f"#{name}\n")
+                for a, b in aln:
+                    f.write(f"{int(a)}\t{int(b)}\n")
+
+    def restart_bonds(self) -> None:
+        """(reference src/core.cpp:491-521)"""
+        if not self.cyclize_tandem_duplications:
+            return
+        out = []
+        with open(f"{self.subproblems_prefix}_bonds.txt") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                if line[0] == "#":
+                    out.append((line[1:], []))
+                else:
+                    a, b = line.split("\t")
+                    out[-1][1].append((int(a), int(b)))
+        self._restarted_bond_alignments = [
+            (name, np.array(rows, dtype=np.int64).reshape(-1, 2))
+            for name, rows in out]
+
     def restart(self) -> None:
         """Reload completed subproblems from -S checkpoint GFAs
         (reference src/execution.cpp:223-279, src/core.cpp:1071-1081).
@@ -385,6 +421,8 @@ class Core:
                     stack.extend(tree.get_children(v))
                 logmod.log(logmod.Verbose,
                            f"Restarted subproblem {os.path.basename(path)}")
+        if self.cyclize_tandem_duplications:
+            self.restart_bonds()
 
     def _subproblem_path(self, node_id: int) -> str:
         h = self.main_execution.subproblem_hash(node_id)

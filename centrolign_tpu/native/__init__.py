@@ -150,6 +150,11 @@ def get_lib() -> ctypes.CDLL:
         [I64P] * 8)
     lib.ref_topological_order.restype = None
     lib.ref_topological_order.argtypes = [ctypes.c_int64] + [I64P] * 5
+    lib.chain_merge_build.restype = None
+    lib.chain_merge_build.argtypes = (
+        [ctypes.c_int64] + [I64P] * 4 +
+        [ctypes.c_int64, I64P, I64P, ctypes.c_int64, ctypes.c_int64] +
+        [I64P] * 3)
     lib.path_merge_build.restype = None
     lib.path_merge_build.argtypes = (
         [ctypes.c_int64] + [I64P] * 4 +
@@ -741,3 +746,29 @@ def bonder_partition(shared, intervening, deviation, separation,
         float(min_opt_proportion), float(min_length),
         float(deviation_drift), float(separation_drift), _ptr_i64(out))
     return [(int(a), int(b)) for a, b in out[:m]]
+
+
+def chain_merge_build(graph, tableau=None):
+    """Native ChainMerge construction. Returns (chain_id (V,),
+    chain_index (V,), table (V,C))."""
+    lib = get_lib()
+    V = graph.node_size
+    P = graph.path_size
+    C = P + (1 if tableau is not None else 0)
+    nptr, nind = _csr64(graph.next_csr())
+    pptr, pind = _csr64(graph.prev_csr())
+    paths = [graph.path(p) for p in range(P)]
+    off = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in paths], out=off[1:])
+    nodes = (np.concatenate(paths).astype(np.int64) if paths
+             else np.empty(0, dtype=np.int64))
+    chain_id = np.empty(V, dtype=np.int64)
+    chain_index = np.empty(V, dtype=np.int64)
+    table = np.full((V, C), -1, dtype=np.int64)
+    lib.chain_merge_build(
+        V, _ptr_i64(nptr), _ptr_i64(nind), _ptr_i64(pptr), _ptr_i64(pind),
+        P, _ptr_i64(off), _ptr_i64(nodes),
+        tableau.src_id if tableau is not None else -1,
+        tableau.snk_id if tableau is not None else -1,
+        _ptr_i64(chain_id), _ptr_i64(chain_index), _ptr_i64(table))
+    return chain_id, chain_index, table

@@ -1872,3 +1872,52 @@ i64 bonder_dev_constrained_partition(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ChainMerge construction (reference chain_merge.hpp:96-178): chain
+// assignment by first covering path, then last-to-reach DP over the
+// reference topological order.
+void chain_merge_build(
+        i64 V, const i64* nptr, const i64* nind, const i64* pptr,
+        const i64* pind,
+        i64 P, const i64* path_off, const i64* path_nodes,
+        i64 src_id, i64 snk_id,  // -1 -> no tableau
+        i64* chain_id, i64* chain_index, i64* table /* (V, C) pre -1 */) {
+    i64 C = P + (src_id >= 0 ? 1 : 0);
+    for (i64 v = 0; v < V; ++v) { chain_id[v] = -1; chain_index[v] = -1; }
+    for (i64 p = 0; p < P; ++p) {
+        i64 index = 0;
+        for (i64 k = path_off[p]; k < path_off[p + 1]; ++k) {
+            i64 v = path_nodes[k];
+            if (chain_id[v] == -1) {
+                chain_id[v] = p;
+                chain_index[v] = index++;
+            }
+        }
+    }
+    if (src_id >= 0) {
+        chain_id[src_id] = P;
+        chain_index[src_id] = 0;
+        chain_id[snk_id] = P;
+        chain_index[snk_id] = 1;
+    }
+    CsrGraph g{V, nptr, nind, pptr, pind};
+    for (i64 v : ref_topo_order(g)) {
+        i64 c = chain_id[v];
+        if (c == -1) continue;
+        i64 idx = chain_index[v];
+        const i64* row = table + v * C;
+        for (i64 k = nptr[v]; k < nptr[v + 1]; ++k) {
+            i64 nx = nind[k];
+            if (chain_id[nx] == -1) continue;
+            i64* nrow = table + nx * C;
+            for (i64 cc = 0; cc < C; ++cc) {
+                i64 cand = (cc == c) ? idx : row[cc];
+                if (cand > nrow[cc]) nrow[cc] = cand;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -184,48 +184,24 @@ class ChainMerge:
         extra = 1 if tableau is not None else 0
         self.num_chains = P + extra
         self.graph = graph
-        self.chain_id = np.full(V, MISSING, dtype=_I64)
-        self.chain_index = np.full(V, MISSING, dtype=_I64)
+        from .native import chain_merge_build
+        self.chain_id, self.chain_index, self.table = \
+            chain_merge_build(graph, tableau)
+        # chains in the unified layout: first covering path wins per node
         self.chains = []
         for p in range(P):
-            chain = []
-            for v in graph.path(p):
-                if self.chain_id[v] == MISSING:
-                    self.chain_id[v] = p
-                    self.chain_index[v] = len(chain)
-                    chain.append(int(v))
-            self.chains.append(np.array(chain, dtype=_I64))
+            path = graph.path(p)
+            keep = self.chain_id[path] == p
+            self.chains.append(np.asarray(path[keep], dtype=_I64))
         if tableau is not None:
             self.chains.append(np.array([tableau.src_id, tableau.snk_id],
                                         dtype=_I64))
-            self.chain_id[tableau.src_id] = P
-            self.chain_index[tableau.src_id] = 0
-            self.chain_id[tableau.snk_id] = P
-            self.chain_index[tableau.snk_id] = 1
 
         # index_on in the unified layout
         self.index_on = np.full((self.num_chains, V), MISSING, dtype=_I64)
         ok = self.chain_id != MISSING
         self.index_on[self.chain_id[ok], np.flatnonzero(ok)] = \
             self.chain_index[ok]
-
-        # last-to-reach table (reference chain_merge.hpp:126-157)
-        self.table = np.full((V, self.num_chains), MISSING, dtype=_I64)
-        from .graph_algs import reference_topological_order
-        next_ptr, next_ind = graph.next_csr()
-        for v in reference_topological_order(graph):
-            c, idx = int(self.chain_id[v]), int(self.chain_index[v])
-            if c == MISSING:
-                continue
-            row = self.table[v]
-            for k in range(next_ptr[v], next_ptr[v + 1]):
-                nx = int(next_ind[k])
-                if self.chain_id[nx] == MISSING:
-                    continue
-                nrow = self.table[nx]
-                cand = row.copy()
-                cand[c] = idx
-                np.maximum(nrow, cand, out=nrow)
 
     # unified-view accessors (same API subset as PathMerge)
     @property

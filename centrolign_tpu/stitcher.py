@@ -100,6 +100,11 @@ class Stitcher:
     device_min_cells: int = 40000
     use_device: bool = True
 
+    def __post_init__(self):
+        import os
+        if os.environ.get("CENTROLIGN_TPU_USE_DEVICE", "1") == "0":
+            self.use_device = False
+
     def stitch(self, anchor_segments, graph1, graph2, tableau1, tableau2,
                xmerge1, xmerge2) -> np.ndarray:
         within, between = extract_graphs_between_segments(
