@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -150,6 +150,9 @@ def get_lib() -> ctypes.CDLL:
         [I64P] * 8)
     lib.ref_topological_order.restype = None
     lib.ref_topological_order.argtypes = [ctypes.c_int64] + [I64P] * 5
+    lib.three_edge_connected_components.restype = ctypes.c_int64
+    lib.three_edge_connected_components.argtypes = \
+        [ctypes.c_int64] + [I64P] * 5
     lib.chain_merge_build.restype = None
     lib.chain_merge_build.argtypes = (
         [ctypes.c_int64] + [I64P] * 4 +
@@ -772,3 +775,18 @@ def chain_merge_build(graph, tableau=None):
         tableau.snk_id if tableau is not None else -1,
         _ptr_i64(chain_id), _ptr_i64(chain_index), _ptr_i64(table))
     return chain_id, chain_index, table
+
+
+def three_edge_connected_components(graph):
+    """Component id per node (reference Norouzi & Tsin replica); the graph
+    must be connected for meaningful results, 2-edge-connected for validity
+    of the 3ECC partition (bridges are censored like the reference)."""
+    lib = get_lib()
+    V = graph.node_size
+    nptr, nind = _csr64(graph.next_csr())
+    pptr, pind = _csr64(graph.prev_csr())
+    out = np.empty(V, dtype=np.int64)
+    n = lib.three_edge_connected_components(
+        V, _ptr_i64(nptr), _ptr_i64(nind), _ptr_i64(pptr), _ptr_i64(pind),
+        _ptr_i64(out))
+    return out, int(n)
