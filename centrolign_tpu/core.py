@@ -23,7 +23,8 @@ from .alignment import fuse, internal_fuse, cigar as cigar_of
 from .bonder import Bonder
 from .execution import Execution, Subproblem
 from .match_finder import find_matches, MatchSet
-from .modify_graph import SentinelTableau, reassign_sentinels
+from .modify_graph import (SentinelTableau, reassign_sentinels,
+                           simplify_bubbles)
 from .partitioner import Partitioner
 from .path_merge import PathMerge
 from .score_function import ScoreFunction
@@ -278,8 +279,8 @@ class Core:
 
     def apply_bonds(self, bond_alignments) -> None:
         """(reference src/core.cpp:594-648). Known gap: the post-cyclization
-        polish pass (snarl-based simplify_bubbles + inconsistency
-        realignment, src/core.cpp:650-767) is not implemented yet."""
+        polish pass (inconsistency realignment, src/core.cpp:650-767) is not
+        implemented yet."""
         if not bond_alignments:
             return
         logmod.log(logmod.Basic, "Cyclizing the final graph.")
@@ -295,6 +296,7 @@ class Core:
             aln[m2, 1] = path[aln[m2, 1]]
             alns.append(aln)
         fused, tab, _ = internal_fuse(root.graph, alns, root.tableau)
+        fused = simplify_bubbles(fused, tab)
         logmod.log(logmod.Debug,
                    f"Cyclized graph reduces from {root.graph.node_size} to "
                    f"{fused.node_size} nodes after merging.")
@@ -302,9 +304,9 @@ class Core:
         root.tableau = tab
         root.alignment = np.empty((0, 2), dtype=np.int64)
         logmod.log(logmod.Minimal,
-                   "NOTE: post-cyclization polish (simplify_bubbles + "
-                   "inconsistency realignment) is not yet implemented; the "
-                   "cyclized graph is emitted unpolished.")
+                   "NOTE: the post-cyclization inconsistency-realignment "
+                   "polish pass is not yet implemented; the cyclized graph "
+                   "is emitted after bubble simplification only.")
 
 
     def do_execution(self, execution: Execution, is_main_execution: bool) -> None:

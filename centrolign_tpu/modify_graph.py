@@ -133,6 +133,109 @@ def append_component(appending: BaseGraph, component: BaseGraph) -> None:
         appending.extend_path_array(new_pid, component.path(pid) + offset)
 
 
+def _net_alleles_trivial(graph: BaseGraph, snarls, snarl_id: int) -> bool:
+    """Net-graph test that every allele of a snarl is a single net node
+    (reference structure_tree.hpp:321-400 NetGraph ctor +
+    src/modify_graph.cpp:231-246)."""
+    start, end = snarls.structure_boundaries(snarl_id)
+    fwd = {start: 0}
+    edges = [[]]
+    stack = [start]
+    while stack:
+        node_id = stack.pop()
+        if node_id == end:
+            continue
+        for nxt in graph.next(node_id):
+            nxt = int(nxt)
+            if nxt in fwd:
+                edges[fwd[node_id]].append(fwd[nxt])
+                continue
+            ns = snarls.structure_beginning_at(nxt)
+            if ns != -1 and nxt != end:
+                # condense the whole chain into one net node
+                chain_id = snarls.chain_containing(ns)
+                net_id = len(edges)
+                edges.append([])
+                final_s = snarls.structures_inside(chain_id)[-1]
+                final_node = snarls.structure_boundaries(final_s)[1]
+                fwd[nxt] = net_id
+                fwd[final_node] = net_id
+                edges[fwd[node_id]].append(net_id)
+                stack.append(final_node)
+            else:
+                net_id = len(edges)
+                edges.append([])
+                fwd[nxt] = net_id
+                edges[fwd[node_id]].append(net_id)
+                stack.append(nxt)
+    net_snk = fwd[end]
+    for nid in edges[0]:  # net node 0 is the source boundary
+        if nid != net_snk and (len(edges[nid]) != 1
+                               or edges[nid][0] != net_snk):
+            return False
+    return True
+
+
+def simplify_bubbles(graph: BaseGraph, tableau: SentinelTableau) -> BaseGraph:
+    """Merge identical alleles of simple (possibly multi-allelic) bubbles in a
+    cyclized graph, then purge the uncovered duplicate nodes (reference
+    src/modify_graph.cpp:165-381). Returns the (possibly new) graph; the
+    tableau is updated in place."""
+    from .extractor import StepIndex
+    from .native import SnarlTree
+
+    snarls = SnarlTree(graph, tableau)
+
+    # a chain is trivial if all of its snarls are trivial
+    chain_is_trivial = [True] * snarls.chain_count
+    for chain_id in range(snarls.chain_count):
+        for snarl_id in snarls.structures_inside(chain_id):
+            if graph.next_size(snarls.structure_boundaries(snarl_id)[0]) != 1:
+                chain_is_trivial[chain_id] = False
+                break
+
+    chains_inside = [[] for _ in range(snarls.structure_size)]
+    for chain_id in range(snarls.chain_count):
+        parent = int(snarls.chain_parent[chain_id])
+        if parent >= 0:
+            chains_inside[parent].append(chain_id)
+
+    step_index = StepIndex(graph)
+    did_simplify = False
+
+    for snarl_id in range(snarls.structure_size):
+        if not snarls.snarl_is_acyclic(snarl_id):
+            continue
+        if any(not chain_is_trivial[c] for c in chains_inside[snarl_id]):
+            continue
+        if not _net_alleles_trivial(graph, snarls, snarl_id):
+            continue
+        src_id, snk_id = snarls.structure_boundaries(snarl_id)
+        # group the alleles by sequence
+        sequence_paths: dict[bytes, list[list[int]]] = {}
+        for nid in graph.next(src_id):
+            allele = bytearray()
+            allele_path = []
+            node_id = int(nid)
+            while node_id != snk_id:
+                allele.append(int(graph.labels[node_id]))
+                allele_path.append(node_id)
+                node_id = int(graph.next(node_id)[0])
+            sequence_paths.setdefault(bytes(allele), []).append(allele_path)
+        # reassign any identical alleles to the first option
+        for paths in sequence_paths.values():
+            for i in range(1, len(paths)):
+                if not paths[i]:
+                    continue  # duplicate deletion alleles can't occur
+                for pid, step in step_index.path_steps(paths[i][0]):
+                    graph.reassign_subpath(pid, step, paths[0])
+                    did_simplify = True
+
+    if did_simplify:
+        graph = purge_uncovered_nodes(graph, tableau)
+    return graph
+
+
 def make_simple(graph: BaseGraph) -> BaseGraph:
     """Remove duplicate (multi-)edges, keeping first occurrences in order."""
     ef, et = graph.edges()

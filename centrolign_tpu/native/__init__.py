@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp", "cactus_snarls.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -150,6 +150,10 @@ def get_lib() -> ctypes.CDLL:
         [I64P] * 8)
     lib.ref_topological_order.restype = None
     lib.ref_topological_order.argtypes = [ctypes.c_int64] + [I64P] * 5
+    lib.snarl_tree_build.restype = ctypes.c_int64
+    lib.snarl_tree_build.argtypes = (
+        [ctypes.c_int64] + [I64P] * 4 +
+        [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64] + [I64P] * 10)
     lib.three_edge_connected_components.restype = ctypes.c_int64
     lib.three_edge_connected_components.argtypes = \
         [ctypes.c_int64] + [I64P] * 5
@@ -790,3 +794,80 @@ def three_edge_connected_components(graph):
         V, _ptr_i64(nptr), _ptr_i64(nind), _ptr_i64(pptr), _ptr_i64(pind),
         _ptr_i64(out))
     return out, int(n)
+
+
+class SnarlTree:
+    """Snarl decomposition of a (possibly cyclic) sentinel-flanked graph via
+    the cactus tree (reference snarls.hpp / cactus.hpp replicas)."""
+
+    def __init__(self, graph, tableau):
+        lib = get_lib()
+        V = graph.node_size
+        nptr, nind = _csr64(graph.next_csr())
+        pptr, pind = _csr64(graph.prev_csr())
+        cap = max(2 * V + 16, 64)
+        self.node_begin = np.empty(V, dtype=np.int64)
+        self.node_end = np.empty(V, dtype=np.int64)
+        bounds = np.empty((cap, 2), dtype=np.int64)
+        chain_of = np.empty(cap, dtype=np.int64)
+        chain_parent = np.empty(cap, dtype=np.int64)
+        sa = np.empty(cap, dtype=np.int64)
+        na = np.empty(cap, dtype=np.int64)
+        ca = np.empty(cap, dtype=np.int64)
+        tc = np.empty(cap, dtype=np.int64)
+        nch = np.zeros(1, dtype=np.int64)
+        S = lib.snarl_tree_build(
+            V, _ptr_i64(nptr), _ptr_i64(nind), _ptr_i64(pptr), _ptr_i64(pind),
+            tableau.src_id, tableau.snk_id, cap,
+            _ptr_i64(self.node_begin), _ptr_i64(self.node_end),
+            _ptr_i64(bounds), _ptr_i64(chain_of), _ptr_i64(chain_parent),
+            _ptr_i64(sa), _ptr_i64(na), _ptr_i64(ca), _ptr_i64(tc),
+            _ptr_i64(nch))
+        if S < 0:
+            raise RuntimeError("snarl capacity exceeded")
+        self.structure_size = int(S)
+        self.chain_count = int(nch[0])
+        self.bounds = bounds[:S].copy()
+        self.chain_of = chain_of[:S].copy()
+        self.chain_parent = chain_parent[:self.chain_count].copy()
+        self.snarl_acyclic = sa[:S].astype(bool)
+        self.net_acyclic = na[:S].astype(bool)
+        self.chain_acyclic = ca[:self.chain_count].astype(bool)
+        self.trivial_chain = tc[:self.chain_count].astype(bool)
+        # structures inside each chain in order
+        self.chain_structs = [[] for _ in range(self.chain_count)]
+        # chains are formed left-to-right; reconstruct by walking
+        order = {}
+        for s in range(S):
+            order.setdefault(int(chain_of[s]), []).append(s)
+        # order within chain: by boundary start position along the chain —
+        # consecutive snarls share boundaries; sort by linking
+        for c, ss in order.items():
+            if len(ss) == 1:
+                self.chain_structs[c] = ss
+                continue
+            nxt = {int(self.bounds[s, 0]): s for s in ss}
+            ends = {int(self.bounds[s, 1]) for s in ss}
+            start = [s for s in ss if int(self.bounds[s, 0]) not in ends][0]
+            seq = [start]
+            while int(self.bounds[seq[-1], 1]) in nxt:
+                seq.append(nxt[int(self.bounds[seq[-1], 1])])
+            self.chain_structs[c] = seq
+
+    def structure_boundaries(self, s):
+        return int(self.bounds[s, 0]), int(self.bounds[s, 1])
+
+    def structure_beginning_at(self, v):
+        return int(self.node_begin[v])
+
+    def structure_ending_at(self, v):
+        return int(self.node_end[v])
+
+    def chain_containing(self, s):
+        return int(self.chain_of[s])
+
+    def structures_inside(self, c):
+        return self.chain_structs[c]
+
+    def snarl_is_acyclic(self, s):
+        return bool(self.snarl_acyclic[s])
