@@ -83,6 +83,10 @@ def main(argv=None) -> int:
         return 0
 
     if args.config:
+        if params != Parameters():
+            print("warning: All other command-line arguments are being "
+                  "overridden by config file parameters.\n",
+                  file=sys.stderr)
         with open(args.config) as f:
             params = Parameters(f.read())
 

@@ -23,8 +23,9 @@ from .alignment import fuse, internal_fuse, cigar as cigar_of
 from .bonder import Bonder
 from .execution import Execution, Subproblem
 from .match_finder import find_matches, MatchSet
-from .modify_graph import (SentinelTableau, reassign_sentinels,
-                           simplify_bubbles)
+from .modify_graph import (SentinelTableau, purge_uncovered_nodes,
+                           reassign_sentinels, simplify_bubbles)
+from .snarls import InconsistencyIdentifier
 from .partitioner import Partitioner
 from .path_merge import PathMerge
 from .score_function import ScoreFunction
@@ -41,6 +42,7 @@ class Core:
         self.partitioner = Partitioner(score_function=self.score_function)
         self.stitcher = Stitcher()
         self.bonder = Bonder()
+        self.inconsistency_identifier = InconsistencyIdentifier()
         self.main_execution = Execution(names_and_sequences, tree)
         self.max_tandem_duplication_search_rounds = 3
 
@@ -303,13 +305,226 @@ class Core:
         root.graph = fused
         root.tableau = tab
         root.alignment = np.empty((0, 2), dtype=np.int64)
-        logmod.log(logmod.Minimal,
-                   "NOTE: the post-cyclization inconsistency-realignment "
-                   "polish pass is not yet implemented; the cyclized graph "
-                   "is emitted after bubble simplification only.")
+        self.polish_cyclized_graph(root)
+
+    def polish_cyclized_graph(self, subproblem: Subproblem) -> None:
+        """Realign regions of the cyclized graph flagged as inconsistent
+        (reference src/core.cpp:650-767)."""
+        from .extractor import StepIndex
+        from .induced_match_finder import InducedMatchFinder
+        from .utils.encoding import decode_seq
+
+        logmod.log(logmod.Basic,
+                   "Polishing inconsistencies in the cyclized alignment")
+        inconsistencies = self.inconsistency_identifier \
+            .identify_inconsistencies(subproblem.graph, subproblem.tableau)
+        logmod.log(logmod.Verbose,
+                   f"Identified {len(inconsistencies)} local regions that "
+                   "may need realignment")
+        if not inconsistencies:
+            return
+        step_index = StepIndex(subproblem.graph)
+        logmod.log(logmod.Verbose,
+                   "Querying global matches to obtain match count "
+                   "statistics.")
+        reassign_sentinels(subproblem.graph, subproblem.tableau, 5, 6)
+        # fictitious second tableau so the self-match query treats the two
+        # copies as distinct inputs (reference src/core.cpp:688-696)
+        dummy_tableau = SentinelTableau(
+            src_id=subproblem.tableau.src_id,
+            snk_id=subproblem.tableau.snk_id,
+            src_sentinel=7, snk_sentinel=8)
+        full_match_set = find_matches(
+            subproblem.graph, subproblem.graph,
+            subproblem.tableau, dummy_tableau,
+            self.max_count, self.score_function)
+
+        logmod.log(logmod.Verbose,
+                   "Localizing matches to positions inside realignment "
+                   "subproblems.")
+        induced = InducedMatchFinder(subproblem.graph, full_match_set,
+                                     inconsistencies, step_index)
+
+        realigned = []
+        for i, (left, right) in enumerate(inconsistencies):
+            path_locations = {}
+            for p, s in step_index.path_steps(left):
+                path_locations.setdefault(p, ([], []))[0].append(s)
+            for p, s in step_index.path_steps(right):
+                path_locations.setdefault(p, ([], []))[1].append(s)
+            path_ids = sorted(path_locations)
+            subpath_intervals = []
+            subpaths = []
+            for path_id in path_ids:
+                firsts, seconds = path_locations[path_id]
+                firsts.sort()
+                seconds.sort()
+                if len(firsts) != len(seconds):
+                    raise RuntimeError("Path starts or ends in the middle "
+                                       "of a cycle realignment interval")
+                path = subproblem.graph.path(path_id)
+                for k in range(len(firsts)):
+                    subpath_intervals.append((path_id, firsts[k], seconds[k]))
+                    name = self.get_subpath_name(
+                        subproblem.graph.path_name(path_id),
+                        firsts[k], seconds[k])
+                    seq = decode_seq(subproblem.graph.labels[
+                        path[firsts[k]:seconds[k] + 1]])
+                    subpaths.append((name, seq))
+            logmod.log(logmod.Verbose,
+                       f"Performing realignment problem {i + 1} of "
+                       f"{len(inconsistencies)}.")
+            expanded_tree = self.make_copy_expanded_tree(subpath_intervals,
+                                                         subpaths)
+            realignment = Execution(subpaths, expanded_tree,
+                                    suppress_logging=True)
+            self.do_execution(realignment, is_main_execution=False,
+                              match_finder=induced.component_view(i))
+            realigned.append(realignment.root_subproblem())
+
+        self.integrate_polished_subgraphs(subproblem, realigned)
+
+    @staticmethod
+    def get_subpath_name(path_name: str, begin: int, end: int) -> str:
+        """(reference src/core.cpp:383-385)"""
+        return f"{path_name}:{begin}-{end}"
+
+    @staticmethod
+    def parse_subpath_name(subpath_name: str):
+        """(reference src/core.cpp:387-395: split on the last ':')"""
+        sep = subpath_name.rfind(":")
+        rng = subpath_name[sep + 1:]
+        dash = rng.index("-")
+        return subpath_name[:sep], int(rng[:dash]), int(rng[dash + 1:])
+
+    def make_copy_expanded_tree(self, subpath_intervals, subpaths) -> Tree:
+        """Expand the guide tree so each subpath copy gets its own leaf
+        (reference src/core.cpp:769-847)."""
+        tree = self.main_execution.tree
+
+        copies: dict[str, list[str]] = {}
+        for idx in sorted(range(len(subpath_intervals)),
+                          key=lambda i: subpath_intervals[i]):
+            name = self.parse_subpath_name(subpaths[idx][0])[0]
+            copies.setdefault(name, []).append(subpaths[idx][0])
+
+        # copy count per subtree: 0 = unobserved, -1 = inconsistent
+        subtree_copy_count = [0] * tree.node_size
+        for name, copy_list in copies.items():
+            subtree_copy_count[tree.get_id(name)] = len(copy_list)
+        for node_id in tree.postorder():
+            if tree.is_leaf(node_id):
+                continue
+            last_count = -2  # sentinel for unobserved
+            for child_id in tree.get_children(node_id):
+                c = subtree_copy_count[child_id]
+                if c == -1 or (last_count != -2 and c != last_count):
+                    last_count = -1
+                    break
+                if c != 0:
+                    last_count = c
+            if last_count != -2:
+                subtree_copy_count[node_id] = last_count
+
+        root = tree.get_root()
+        if subtree_copy_count[root] == 0:
+            raise RuntimeError("Root is not included in induced subpath tree")
+
+        out = []
+        # stack frames: [node id (-1 = virtual), which copy, children, next]
+        if subtree_copy_count[root] == -1:
+            children = [(c, -1) for c in tree.get_children(root)
+                        if subtree_copy_count[c] != 0]
+            stack = [[root, -1, children, 0]]
+        else:
+            stack = [[-1, -1,
+                      [(root, i) for i in range(subtree_copy_count[root])],
+                      0]]
+        while stack:
+            top = stack[-1]
+            if top[3] == len(top[2]):
+                if top[2]:
+                    out.append(")")
+                if top[0] != -1 and tree.is_leaf(top[0]):
+                    if top[1] == -1:
+                        raise RuntimeError("Leaf of induced subpath tree was "
+                                           "not marked as having consistent "
+                                           "count")
+                    out.append('"' + copies[tree.label(top[0])][top[1]] + '"')
+                dist = 0.0 if top[0] == -1 else tree.distance(top[0])
+                if dist != float("inf"):
+                    out.append(f":{dist:g}")
+                stack.pop()
+                continue
+            if top[3] == 0:
+                out.append("(")
+            else:
+                out.append(",")
+            next_id, which_copy = top[2][top[3]]
+            top[3] += 1
+            if which_copy == -1 and subtree_copy_count[next_id] != -1:
+                # first copy-consistent subtree: virtual node for the copies
+                stack.append([-1, -1,
+                              [(next_id, i)
+                               for i in range(subtree_copy_count[next_id])],
+                              0])
+            else:
+                children = [(c, which_copy) for c in tree.get_children(next_id)
+                            if subtree_copy_count[c] != 0]
+                stack.append([next_id, which_copy, children, 0])
+        out.append(";")
+
+        expanded = Tree("".join(out))
+        expanded.compact()
+        expanded.binarize()
+        return expanded
+
+    def integrate_polished_subgraphs(self, root: Subproblem,
+                                     realigned_graphs) -> None:
+        """Splice realigned subgraphs back into the root graph and purge the
+        replaced nodes (reference src/core.cpp:849-1069)."""
+        for realigned in realigned_graphs:
+            g, tab = realigned.graph, realigned.tableau
+            inject = np.full(g.node_size, -1, dtype=np.int64)
+            for node_id in range(g.node_size):
+                if node_id != tab.src_id and node_id != tab.snk_id:
+                    inject[node_id] = root.graph.add_node(
+                        int(g.labels[node_id]))
+            for node_id in range(g.node_size):
+                if node_id == tab.src_id or node_id == tab.snk_id:
+                    continue
+                for next_id in g.next(node_id):
+                    next_id = int(next_id)
+                    if next_id == tab.src_id or next_id == tab.snk_id:
+                        continue
+                    root.graph.add_edge(int(inject[node_id]),
+                                        int(inject[next_id]))
+            path_adjacencies = set()
+            for path_id in range(g.path_size):
+                name, begin, end = self.parse_subpath_name(
+                    g.path_name(path_id))
+                if begin == end:
+                    continue
+                root_path_id = root.graph.path_id(name)
+                rp = root.graph.path(root_path_id)
+                prev_id = (root.tableau.src_id if begin == 0
+                           else int(rp[begin - 1]))
+                next_id = (root.tableau.snk_id if end + 1 == len(rp)
+                           else int(rp[end + 1]))
+                sp = g.path(path_id)
+                front, back = int(inject[sp[0]]), int(inject[sp[-1]])
+                if (prev_id, front) not in path_adjacencies:
+                    path_adjacencies.add((prev_id, front))
+                    root.graph.add_edge(prev_id, front)
+                if (back, next_id) not in path_adjacencies:
+                    path_adjacencies.add((back, next_id))
+                    root.graph.add_edge(back, next_id)
+                root.graph.reassign_subpath(root_path_id, begin, inject[sp])
+        root.graph = purge_uncovered_nodes(root.graph, root.tableau)
 
 
-    def do_execution(self, execution: Execution, is_main_execution: bool) -> None:
+    def do_execution(self, execution: Execution, is_main_execution: bool,
+                     match_finder=None) -> None:
         while not execution.finished():
             parent, sub1, sub2 = execution.next()
             if parent.complete:
@@ -319,9 +534,13 @@ class Core:
             reassign_sentinels(sub1.graph, sub1.tableau, 5, 6)
             reassign_sentinels(sub2.graph, sub2.tableau, 7, 8)
             logmod.log(logmod.Verbose, "Finding matches.")
-            matches = find_matches(sub1.graph, sub2.graph,
-                                   sub1.tableau, sub2.tableau,
-                                   self.max_count, self.score_function)
+            if match_finder is None:
+                matches = find_matches(sub1.graph, sub2.graph,
+                                       sub1.tableau, sub2.tableau,
+                                       self.max_count, self.score_function)
+            else:
+                matches = match_finder.find_matches(
+                    sub1.graph, sub2.graph, sub1.tableau, sub2.tableau)
             logmod.log(logmod.Verbose, "Computing reachability.")
             xm1 = PathMerge(sub1.graph, sub1.tableau)
             xm2 = PathMerge(sub2.graph, sub2.tableau)

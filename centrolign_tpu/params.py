@@ -237,6 +237,16 @@ class Parameters:
         core.max_tandem_duplication_search_rounds = self.get(
             "max_tandem_duplication_search_rounds")
 
+        ii = core.inconsistency_identifier
+        ii.max_tight_cycle_size = self.get("max_realignment_cycle_size")
+        ii.max_bond_inconsistency_window = self.get("inconsistent_indel_window")
+        ii.min_inconsistency_disjoint_length = self.get(
+            "min_inconsistency_disjoint_length")
+        ii.min_inconsistency_total_length = self.get(
+            "min_inconsistency_total_length")
+        ii.padding_target_min_length = self.get("realignment_min_padding")
+        ii.padding_max_length_limit = self.get("realignment_max_padding")
+
         pt = core.partitioner
         pt.constraint_method = ["Null", "Unconstrained", "MinAverage",
                                 "MinWindowAverage"][self.get("constraint_method")]

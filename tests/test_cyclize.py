@@ -57,13 +57,11 @@ def test_bond_cigars_match_reference(tmp_path):
     assert len(ref_files) > 0
     for f in ref_files:
         assert (ref_dir / f).read_text() == (our_dir / f).read_text(), f
-    # on this input the reference's polish pass realigns one region, which
-    # changes the final GFA; bond files above are the byte-parity target here
-    # (the polish-free GFA parity is covered by the test below)
+    # the reference realigns one inconsistent region on this input; with the
+    # polish pass implemented, the final GFA is byte-identical too
+    assert r2.stdout == r1.stdout, "final cyclized GFA differs"
 
 
-@pytest.mark.xfail(reason="inconsistency-realignment polish not yet "
-                   "implemented; flips to pass when it lands", strict=False)
 def test_final_cyclized_gfa_matches_reference(tmp_path):
     """Byte-identical -c GFA end-to-end (internal_fuse + simplify_bubbles +
     polish; the reference realigns 2 regions on this input)."""

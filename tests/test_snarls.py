@@ -12,7 +12,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from centrolign_tpu.native import SnarlTree
+from centrolign_tpu.snarls import Snarls
 from centrolign_tpu.modify_graph import (add_sentinels, make_base_graph,
                                          simplify_bubbles)
 from centrolign_tpu.alignment import internal_fuse
@@ -51,16 +51,21 @@ def _compare(g, tab):
                        capture_output=True, text=True, timeout=120)
     toks = r.stdout.splitlines()
     S, C = map(int, toks[0].split())
-    tree = SnarlTree(g, tab)
-    assert (tree.structure_size, tree.chain_count) == (S, C)
+    tree = Snarls(g, tab)
+    assert (tree.structure_size, tree.chain_size) == (S, C)
     for s in range(S):
-        a, b, c, ac = map(int, toks[1 + s].split())
+        a, b, c, ac, nac = map(int, toks[1 + s].split())
         assert tree.structure_boundaries(s) == (a, b)
         assert tree.chain_containing(s) == c
         assert int(tree.snarl_is_acyclic(s)) == ac
+        assert int(tree.net_graph_is_acyclic(s)) == nac
     for c in range(C):
-        want = [int(x) for x in toks[1 + S + c].split()[2:]]
-        assert tree.structures_inside(c) == want
+        parts = toks[1 + S + c].replace(":", "").split()
+        assert tree.structure_containing(c) == int(parts[2])
+        assert tree.structures_inside(c) == [int(x) for x in parts[3:]]
+    for s in range(S):
+        parts = toks[1 + S + C + s].replace(":", "").split()
+        assert tree.chains_inside(s) == [int(x) for x in parts[2:]]
 
 
 def _cyclized(rng, n=400):
