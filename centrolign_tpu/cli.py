@@ -87,8 +87,12 @@ def main(argv=None) -> int:
             print("warning: All other command-line arguments are being "
                   "overridden by config file parameters.\n",
                   file=sys.stderr)
-        with open(args.config) as f:
-            params = Parameters(f.read())
+        try:
+            with open(args.config) as f:
+                params = Parameters(f.read())
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
 
     try:
         params.validate()

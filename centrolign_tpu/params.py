@@ -37,76 +37,69 @@ class Param:
 
 _REGISTRY = [
     ("IO", "fasta_name", "String", "", "The path to a FASTA file containing all of input sequences"),
-    ("IO", "tree_name", "String", "", "The path to a guide tree for the alignment in Newick format"),
-    ("IO", "logging_level", "Enum", 2, "The level of verbosity of logging to stderr (0-4)"),
-    ("IO", "subproblems_prefix", "String", "", "If provided, save intermediate subproblems as GFA files with this prefix"),
-    ("IO", "restart", "Bool", False, "Attempt to restart using saved partial results from 'subproblems_prefix'"),
-    ("IO", "all_pairs_prefix", "String", "", "If provided, save induced pairwise alignments in CIGAR format with this prefix"),
-    ("IO", "subalignments_filepath", "String", "", "If provided, save the path-to-path alignment from each subproblem"),
+    ("IO", "tree_name", "String", "", "The path to a guide tree for the alignment in Newick format (sample names must match sequence names from the input FASTA)"),
+    ("IO", "logging_level", "Enum", 2, "The level of verbosity of logging to stderr during execution:\n- 0: Silent\n- 1: Minimal\n- 2: Basic\n- 3: Verbose\n- 4: Debug"),
+    ("IO", "subproblems_prefix", "String", "", "If provided, save the results of the intermediate subproblems in GFA format to files with this prefix"),
+    ("IO", "restart", "Bool", False, "Attempt to restart mid-execution using the saved partial results from 'subproblems_prefix'"),
+    ("IO", "all_pairs_prefix", "String", "", "If provided, save the induced pairwise alignment for each pair of sequences in CIGAR format to files with this prefix"),
+    ("IO", "subalignments_filepath", "String", "", "If provided, save the path-to-path alignment from each subproblem to files with this prefix"),
     ("IO", "threads", "Integer", 1, "The number of threads to use in parallel portions of the algorithm"),
-    ("MatchFinding", "max_count", "Integer", 3000, "Only query matches that occur at most this many times"),
-    ("MatchFinding", "use_color_set_size", "Bool", True, "Use color set size index instead of a merge sort tree"),
-    ("Anchoring", "max_num_match_pairs", "Integer", 1250000, "The maximum number of matches considered during chaining"),
-    ("Anchoring", "memory_restraint_size", "Integer", 1 << 30, "Switch to memory-efficient structures at this size"),
-    ("Anchoring", "split_matches_at_branchpoints", "Bool", True, "Split anchors at forking paths to avoid reachability artifacts"),
-    ("Anchoring", "anchor_split_limit", "Integer", 5, "How close to the end of the anchor a split must be"),
-    ("Anchoring", "min_split_length", "Integer", 128, "Only split anchors at least this long"),
-    ("Anchoring", "min_path_length_spread", "Integer", 50, "Only split anchors at forks whose paths differ by this much"),
-    ("Anchoring", "max_split_match_set_size", "Integer", 16, "Only split anchors with at most this many matching sequences"),
-    ("Anchoring", "chaining_algorithm", "Enum", 2, "0 exhaustive, 1 sparse, 2 sparse affine"),
-    ("Anchoring", "anchor_gap_open", "DoubleArray3", (1.25, 50.0, 5000.0), "Anchoring affine gap open penalties"),
-    ("Anchoring", "anchor_gap_extend", "DoubleArray3", (2.5, 0.1, 0.0015), "Anchoring affine gap extend penalties"),
-    ("Anchoring", "anchor_score_function", "Enum", 2, "Anchor scoring function (0-3)"),
-    ("Anchoring", "pair_count_power", "Double", 0.5, "Power applied to the count in the anchor score denominator"),
-    ("Anchoring", "length_intercept", "Double", 2250.0, "Longest possible positively-scoring match"),
-    ("Anchoring", "length_decay_power", "Double", 2.0, "Power of the subtracted monomial"),
-    ("Anchoring", "global_anchoring", "Bool", True, "Identify chains that cover the whole sequence"),
-    ("Anchoring", "do_fill_in_anchoring", "Bool", True, "Fill in gaps in the anchor chain with unused matches"),
-    ("IdentifyingAlignability", "constraint_method", "Enum", 3, "0 Null, 1 Unconstrained, 2 MinAverage, 3 MinWindowAverage"),
-    ("IdentifyingAlignability", "minimum_segment_score", "Double", 15000.0, "The minimum total score of an alignable segment"),
-    ("IdentifyingAlignability", "minimum_segment_average", "Double", 0.1, "The minimum average score of an alignable segment"),
-    ("IdentifyingAlignability", "window_length", "Double", 10000.0, "The length of the window for the windowed average"),
-    ("IdentifyingAlignability", "generalized_length_mean", "Double", -0.5, "Holder mean parameter for combining lengths"),
-    ("IdentifyingAlignability", "boundary_score_factor", "Double", 0.95, "Boundary score proportion for realignment"),
-    ("Aligning", "stitch_match", "Integer", 20, "Match value when stitching"),
-    ("Aligning", "stitch_mismatch", "Integer", 80, "Mismatch penalty when stitching"),
-    ("Aligning", "stitch_gap_open", "IntegerArray3", (60, 800, 2500), "Stitching gap open penalties"),
-    ("Aligning", "stitch_gap_extend", "IntegerArray3", (30, 5, 1), "Stitching gap extend penalties"),
-    ("Aligning", "max_trivial_size", "Integer", 30000, "Max DP matrix size always aligned even if unalignable"),
-    ("Aligning", "min_wfa_size", "Integer", 40000000, "Min DP matrix size for graph-graph WFA"),
-    ("Aligning", "max_wfa_size", "Integer", 75000000, "Max DP matrix size for graph-graph WFA"),
-    ("Aligning", "max_wfa_ratio", "Double", 1.05, "Max long-to-short ratio for WFA"),
-    ("Aligning", "wfa_pruning_dist", "Integer", 25, "Lagging distance for WFA pruning"),
-    ("Aligning", "deletion_alignment_ratio", "Integer", 8, "Min long-to-short ratio for deletion alignment"),
-    ("Aligning", "deletion_alignment_short_max_size", "Integer", 1500, "Max short side for deletion alignment"),
-    ("Aligning", "deletion_alignment_long_min_size", "Integer", 2000, "Min long side for deletion alignment"),
-    ("Aligning", "indel_fuzz_score_proportion", "Double", 0.001, "Score proportion for indel despecification"),
-    ("Aligning", "min_indel_fuzz_length", "Integer", 50, "Minimum indel length for despecification"),
-    ("InducingCycles", "cyclize_tandem_duplications", "Bool", False, "Identify tandem duplications and induce cycles"),
-    ("InducingCycles", "max_tandem_duplication_search_rounds", "Integer", 3, "Max nested tandem duplication rounds"),
-    ("InducingCycles", "min_cyclizing_length", "Integer", 100000, "Minimum size of a tandem duplication"),
+    ("MatchFinding", "max_count", "Integer", 3000, "Only query matches that occur at most this many times on either of the two graphs"),
+    ("MatchFinding", "use_color_set_size", "Bool", True, "Use Hui's (1992) color set size index instead of a merge sort tree (CSS is generally faster and uses less memory)"),
+    ("Anchoring", "max_num_match_pairs", "Integer", 1250000, "The maximum number of matches between two graphs that will be considered during chaining"),
+    ("Anchoring", "memory_restraint_size", "Integer", 1 << 30, "Switch to slower, more memory-efficient data structures when (graph size) * (num sequences) hits this amount"),
+    ("Anchoring", "split_matches_at_branchpoints", "Bool", True, "Allow the chaining algorithm to split anchors at forking paths in the graph to avoid reachability artifacts"),
+    ("Anchoring", "anchor_split_limit", "Integer", 5, "If splitting at branch points, how close to the end of the anchor must the split be"),
+    ("Anchoring", "min_split_length", "Integer", 128, "If splitting at branch points, only split anchors that are at least this long"),
+    ("Anchoring", "min_path_length_spread", "Integer", 50, "If splitting at branch points, only split anchors at forks whose paths differ by at least this much in length"),
+    ("Anchoring", "max_split_match_set_size", "Integer", 16, "If splitting at branch points, only split anchors with at most this many matching sequences"),
+    ("Anchoring", "chaining_algorithm", "Enum", 2, "The chaining algorithm used:\n- 0: Simple exhaustive algorithm (slow)\n- 1: Sparse algorithm with no gap penalties\n- 2: Sparse algorithm with affine gap penalties"),
+    ("Anchoring", "anchor_gap_open", "DoubleArray3", (1.25, 50.0, 5000.0), "The gap open penalties used for anchoring with affine gap penalties"),
+    ("Anchoring", "anchor_gap_extend", "DoubleArray3", (2.5, 0.1, 0.0015), "The gap extend penalties used for anchoring with affine gap penalties"),
+    ("Anchoring", "anchor_score_function", "Enum", 2, "The scoring function used to prioritize anchors during chaining:\n- 0: Inverse of count\n- 1: Length of match scaled by inverse of count\n- 2: Length scaled by inverse of count with a subtracted convex monomial term based on length\n- 3: Length with a subtracted convex monomial term based on length and count"),
+    ("Anchoring", "pair_count_power", "Double", 0.5, "The power that the count is raised to when used as an inverse factor to the anchor scoring function"),
+    ("Anchoring", "length_intercept", "Double", 2250.0, "When using an anchoring scoring function with a convex subtracted term, the longest possible postively-scoring match"),
+    ("Anchoring", "length_decay_power", "Double", 2.0, "When using an anchoring scoring function with a convex subtracted term, the power of the subtracted monomial"),
+    ("Anchoring", "global_anchoring", "Bool", True, "Identify chains that cover the whole sequence, as opposed to local regions"),
+    ("Anchoring", "do_fill_in_anchoring", "Bool", True, "Attempt to fill in gaps in the anchor chain using matches that were not considered due to the limit on the maximum number of matches"),
+    ("IdentifyingAlignability", "constraint_method", "Enum", 3, "The method used to partition the anchor chain into alignable and unalignable regions:\n- 0: Do not attempt to partition; consider all sequences alignable\n- 1: Choose the highest scoring set of anchors\n- 2: Choose the highest scoring set of anchors, with each alignable segment having limit on its average value (score/length)\n- 3: Choose the highest scoring set of anchors, with each alignable segment having limit on a windowed average value (score/window size) across all windows inside the segment"),
+    ("IdentifyingAlignability", "minimum_segment_score", "Double", 15000.0, "The minimum total score that an alignable segment must have"),
+    ("IdentifyingAlignability", "minimum_segment_average", "Double", 0.1, "The minimum average score that an alignable segment must have"),
+    ("IdentifyingAlignability", "window_length", "Double", 10000.0, "The length of the window used in the windowed average"),
+    ("IdentifyingAlignability", "generalized_length_mean", "Double", -0.5, "Parameter of the Holder mean used to combine the lengths on the two graphs into a single length measurement"),
+    ("IdentifyingAlignability", "boundary_score_factor", "Double", 0.95, "When realigning regions after inducing cycles, treat the boundaries of the realignment as having score equal to this proportion times the minimum segment score"),
+    ("Aligning", "stitch_match", "Integer", 20, "Match value when stitching anchors into a base-level alignment"),
+    ("Aligning", "stitch_mismatch", "Integer", 80, "Mismatch penalty when stitching anchors into a base-level alignment"),
+    ("Aligning", "stitch_gap_open", "IntegerArray3", (60, 800, 2500), "Piecewise affine gap open penalties when stitching anchors into a base-level alignment"),
+    ("Aligning", "stitch_gap_extend", "IntegerArray3", (30, 5, 1), "Piecewise affine gap extend penalties when stitching anchors into a base-level alignment"),
+    ("Aligning", "max_trivial_size", "Integer", 30000, "Maximum size of a dynamic programming matrix that will be aligned even if it was identified as unalignable"),
+    ("Aligning", "min_wfa_size", "Integer", 40000000, "Minimum size of a dynamic programming matrix that will be aligned using graph-graph WFA"),
+    ("Aligning", "max_wfa_size", "Integer", 75000000, "Maximum size of a dynamic programming matrix that will be aligned using graph-graph WFA"),
+    ("Aligning", "max_wfa_ratio", "Double", 1.05, "Maximum ratio of long-to-short side of the dynamic programming matrix for graph-graph WFA to be used"),
+    ("Aligning", "wfa_pruning_dist", "Integer", 25, "The lagging distance for a diagonal to be pruned in graph-graph WFA"),
+    ("Aligning", "deletion_alignment_ratio", "Integer", 8, "The minimum ratio of long-to-short side of the dynamic programming matrix to use WFA-based implied deletion algorithm"),
+    ("Aligning", "deletion_alignment_short_max_size", "Integer", 1500, "The maximum size of the short side of the dynamic programming matrix to use WFA-based implied deletion algorithm"),
+    ("Aligning", "deletion_alignment_long_min_size", "Integer", 2000, "The minimum size of the long side of the dynamic programming matrix to use WFA-based implied deletion algorithm"),
+    ("Aligning", "indel_fuzz_score_proportion", "Double", 0.001, "Remove low-scoring anchors that are restricting the location of large indels when their score is worth at most this proportion of their neighboring anchors"),
+    ("Aligning", "min_indel_fuzz_length", "Integer", 50, "When removing low-scoring anchors to de-specify the location of a indel, require the indel to be at least this long"),
+    ("InducingCycles", "cyclize_tandem_duplications", "Bool", False, "Identify tandem duplications in the sequences and use them to induce cycles in the final graph"),
     ("InducingCycles", "max_tandem_duplication_search_rounds", "Integer", 3, "The maximum number of nested tandem duplications to attempt finding for any given subsequence"),
-    ("InducingCycles", "tandem_dup_score_proportion", "Double", 0.2, "Minimum proportion of the optimal score for a tandem duplication"),
-    ("InducingCycles", "deviation_drift_factor", "Double", 150.0, "Permissiveness of indel drift in tandem duplications"),
-    ("InducingCycles", "separation_drift_factor", "Double", 50.0, "Permissiveness of deviation from the expected separation"),
-    ("InducingCycles", "trim_window_proportion", "Double", 0.1, "Bond end trim window, as proportion of min_cyclizing_length"),
-    ("InducingCycles", "deduplication_slosh_proportion", "Double", 0.1, "Bond interval matching slack, as proportion of min_cyclizing_length"),
-    ("InducingCycles", "include_tandem_dup_gap_scores", "Bool", True, "Include gap scores in tandem duplication scoring"),
-    ("InducingCycles", "tandem_dup_score_proportion", "Double", 0.2, "Required score proportion of self chain"),
-    ("InducingCycles", "include_tandem_dup_gap_scores", "Bool", True, "Include gap scores in tandem dup chains"),
-    ("InducingCycles", "deviation_drift_factor", "Double", 150.0, "Allowed indel deviation factor"),
-    ("InducingCycles", "separation_drift_factor", "Double", 50.0, "Required separation factor"),
-    ("InducingCycles", "trim_window_proportion", "Double", 0.1, "End-trimming window proportion"),
-    ("InducingCycles", "deduplication_slosh_proportion", "Double", 0.1, "Tandem duplication dedup tolerance"),
-    ("InducingCycles", "max_realignment_cycle_size", "Integer", 10000, "Realign cycles shorter than this"),
-    ("InducingCycles", "inconsistent_indel_window", "Integer", 100, "Window for inconsistently-placed indels"),
-    ("InducingCycles", "min_inconsistency_disjoint_length", "Integer", 8, "Min disjoint unmerged length"),
-    ("InducingCycles", "min_inconsistency_total_length", "Integer", 50, "Min total unmerged length"),
-    ("InducingCycles", "realignment_min_padding", "Integer", 1000, "Min padding when realigning"),
-    ("InducingCycles", "realignment_max_padding", "Integer", 10000, "Max padding when realigning"),
-    ("DeveloperTools", "bonds_prefix", "String", "", "Save tandem duplication alignments with this prefix"),
-    ("DeveloperTools", "preserve_subproblems", "Bool", False, "Do not clear data from completed subproblems"),
-    ("DeveloperTools", "skip_calibration", "Bool", False, "Do not calibrate the scoring parameters"),
+    ("InducingCycles", "min_cyclizing_length", "Integer", 100000, "The minimum size of a tandem duplication to look for"),
+    ("InducingCycles", "tandem_dup_score_proportion", "Double", 0.2, "Require tandem duplication anchor chains to have at least this proportion of the score of the corresponding section of a self-to-self anchor chain"),
+    ("InducingCycles", "include_tandem_dup_gap_scores", "Bool", True, "When computing the score of tandem duplication chains, include the gap scores"),
+    ("InducingCycles", "deviation_drift_factor", "Double", 150.0, "When identifying tandem duplications, allow the chain to have indel deviations of this much times sqrt(length)"),
+    ("InducingCycles", "separation_drift_factor", "Double", 50.0, "When identifying tandem duplications, require the chain to be separated from the main diagonal by the length minus this much times sqrt(length)"),
+    ("InducingCycles", "trim_window_proportion", "Double", 0.1, "Trim off the ends of tandem duplications until they meet the minimum score requirement using only a window on each end of length equal to this proportion times 'min_cyclizing_length'"),
+    ("InducingCycles", "deduplication_slosh_proportion", "Double", 0.1, "Consider two tandem duplications to be the same if they differ by at most this much times 'min_cyclizing_length'"),
+    ("InducingCycles", "max_realignment_cycle_size", "Integer", 10000, "After cyclizing, realign cycles shorter than this length"),
+    ("InducingCycles", "inconsistent_indel_window", "Integer", 100, "After cyclizing, look for inconsistently-placed indels to realign that are separated by at most this length"),
+    ("InducingCycles", "min_inconsistency_disjoint_length", "Integer", 8, "Require inconsistently-placed indels to have disjoint un-merged sequences of at least this length from two segments of the same input sequence"),
+    ("InducingCycles", "min_inconsistency_total_length", "Integer", 50, "Require inconsistently-placed indels to have total un-merged sequences of at least this length from two segments of the same input sequence"),
+    ("InducingCycles", "realignment_min_padding", "Integer", 1000, "When realigning after cyclizing, try to pad alignment problems with this much padding sequence from every path"),
+    ("InducingCycles", "realignment_max_padding", "Integer", 10000, "When realigning after cyclizing, stop adding padding if it would require any path to add this much sequence"),
+    ("DeveloperTools", "bonds_prefix", "String", "", "If provided, save the alignments of all tandem duplications identified in the cyclization process to files with this prefix"),
+    ("DeveloperTools", "preserve_subproblems", "Bool", False, "Do not clear out data from completed subproblems as the algorithm progresses"),
+    ("DeveloperTools", "skip_calibration", "Bool", False, "Do not calibrate the scoring parameters to the input sequences' repetitiveness"),
 ]
 
 
@@ -159,37 +152,75 @@ class Parameters:
 
     # --------------- config round-trip ---------------
 
+    def _value_str(self, p: Param) -> str:
+        """(reference src/parameters.cpp:649-687; doubles use the stream
+        default 6-significant-digit formatting)"""
+        v = p.get()
+        if p.type in ("Integer", "Enum"):
+            return str(int(v))
+        if p.type == "Bool":
+            return "true" if v else "false"
+        if p.type == "Double":
+            return f"{float(v):.6g}"
+        if p.type == "String":
+            return str(v)
+        if p.type == "DoubleArray3":
+            return ",".join(f"{float(x):.6g}" for x in v)
+        if p.type == "IntegerArray3":
+            return ",".join(str(int(x)) for x in v)
+        raise ValueError(p.type)
+
     def generate_config(self) -> str:
-        lines = ["---", "config:"]
+        """Emit the reference's config format byte-for-byte
+        (reference src/parameters.cpp:335-359)."""
+        out = ["---\n"]
         for sub, desc in SUBMODULES:
-            lines.append(f"  {sub}:   # {desc}")
+            out.append(" \n")
+            out.append(" ##########\n")
+            out.append(f" # {desc}\n")
+            out.append(" ##########\n")
+            out.append(" \n")
             for p in self._params.values():
                 if p.submodule != sub:
                     continue
-                v = p.get()
-                if p.type in ("DoubleArray3", "IntegerArray3"):
-                    vs = ", ".join(str(x) for x in v)
-                    lines.append(f"    {p.name}: [{vs}]")
-                elif p.type == "Bool":
-                    lines.append(f"    {p.name}: {'true' if v else 'false'}")
-                else:
-                    lines.append(f"    {p.name}: {v}")
-        lines.append("...")
-        return "\n".join(lines) + "\n"
+                for help_line in p.help.split("\n"):
+                    out.append(f" # {help_line}\n")
+                value = self._value_str(p)
+                needs_quotes = value == "" or any(c.isspace() for c in value)
+                q = '"' if needs_quotes else ""
+                out.append(f" {p.name}: {q}{value}{q}\n")
+        return "".join(out)
 
     def _parse(self, text: str) -> None:
-        for raw in text.splitlines():
-            line = raw.split("#")[0].rstrip()
-            stripped = line.strip()
-            if not stripped or stripped in ("---", "...") or stripped.endswith(":"):
+        """Parse the reference's config format
+        (reference src/parameters.cpp:219-290)."""
+        delim = text.find("---")
+        if delim != -1:
+            text = text[delim + 3:]
+        for line in text.splitlines():
+            comment = line.find("#")
+            body = line[:comment] if comment != -1 else line
+            if body.strip() == "":
                 continue
-            if ":" not in stripped:
-                continue
-            name, _, val = stripped.partition(":")
-            name = name.strip()
-            val = val.strip().strip("[]")
-            if name in self._params:
-                self.set(name, val)
+            colon = body.find(":")
+            if colon == -1:
+                raise ValueError(
+                    f"Config has line missing ':' delimiter in line '{line}'")
+            name = body[:colon].strip()
+            value = body[colon + 1:].strip()
+            if not name:
+                raise ValueError(
+                    f"Config has line with no variable name in line '{line}'")
+            if not value:
+                raise ValueError(
+                    f"Config has line with no variable value in line '{line}'")
+            if value.startswith('"'):
+                if len(value) == 1 or not value.endswith('"'):
+                    raise ValueError(f"Unmatched \" in config file line: {line}")
+                value = value[1:-1]
+            if name not in self._params:
+                raise ValueError(f"No parameter with name {name}")
+            self.set(name, value)
 
     # --------------- apply to core ---------------
 

@@ -222,3 +222,34 @@ def test_native_extract_connecting_graph_parity():
                 assert np.array_equal(ne[0], pe[0]) and np.array_equal(ne[1], pe[1])
                 assert list(nat.sources) == list(py.sources)
                 assert list(nat.sinks) == list(py.sinks)
+
+
+def test_generate_config_matches_reference():
+    """-G output is byte-identical to the reference binary's (config format,
+    help text, and default values; reference src/parameters.cpp:335-359)."""
+    import os
+    import subprocess
+    import sys
+    ref = "/tmp/refbuild/centrolign"
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("reference binary unavailable")
+    ours = subprocess.run(
+        [sys.executable, "-m", "centrolign_tpu.cli", "-G", "-c", "-v", "1"],
+        capture_output=True, text=True, cwd="/root/repo").stdout
+    theirs = subprocess.run([ref, "-G", "-c", "-v", "1"],
+                            capture_output=True, text=True).stdout
+    assert ours == theirs
+
+
+def test_config_round_trip():
+    from centrolign_tpu.params import Parameters
+    p = Parameters()
+    p.set("max_count", 123)
+    p.set("anchor_gap_open", (1.5, 2.5, 3.5))
+    p.set("fasta_name", "x.fa")
+    q = Parameters(p.generate_config())
+    assert q.get("max_count") == 123
+    assert q.get("anchor_gap_open") == (1.5, 2.5, 3.5)
+    assert q.get("fasta_name") == "x.fa"
+    assert p == q
