@@ -78,6 +78,10 @@ class Core:
             self.output_pairwise_alignments(False)
         if self.cyclize_tandem_duplications:
             self.apply_bonds(bond_alignments)
+            if self.induced_pairwise_prefix:
+                logmod.log(logmod.Verbose,
+                           "Outputting non-colinear pairwise alignments")
+                self.output_pairwise_alignments(True)
 
     def calibrate_anchor_scores_and_identify_bonds(self):
         """(reference src/core.cpp:96-299). Returns bond alignments (list of
@@ -699,9 +703,10 @@ class Core:
 
     def output_pairwise_alignments(self, cyclic: bool) -> None:
         """Induced pairwise alignments between every path pair of the root
-        graph (reference src/core.cpp:524-591). Cyclic MAF output is a known
-        round-1 gap (falls back to explicit CIGAR)."""
+        graph: explicit CIGARs for the colinear (acyclic) case, MAF blocks
+        after cyclization (reference src/core.cpp:524-591)."""
         from .alignment import induced_pairwise_alignment, explicit_cigar
+        from .induced import induced_cyclic_pairwise_alignment, output_maf
         root = self.root_subproblem()
         g = root.graph
         for i in range(g.path_size):
@@ -710,11 +715,15 @@ class Core:
                 n2 = g.path_name(j).replace("/", "_")
                 ext = ".maf" if cyclic else ".txt"
                 name = f"{self.induced_pairwise_prefix}_{n1}_{n2}{ext}"
-                aln = induced_pairwise_alignment(g, i, j)
                 with open(name, "w") as f:
-                    lab1 = g.labels[g.path(i)]
-                    lab2 = g.labels[g.path(j)]
-                    f.write(explicit_cigar(aln, lab1, lab2) + "\n")
+                    if cyclic:
+                        output_maf(f, induced_cyclic_pairwise_alignment(
+                            g, i, j), g, i, j)
+                    else:
+                        aln = induced_pairwise_alignment(g, i, j)
+                        lab1 = g.labels[g.path(i)]
+                        lab2 = g.labels[g.path(j)]
+                        f.write(explicit_cigar(aln, lab1, lab2) + "\n")
 
     # ------------------------------------------------------------------
 

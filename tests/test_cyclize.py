@@ -94,3 +94,49 @@ def test_final_cyclized_gfa_matches_reference(tmp_path):
         capture_output=True, text=True, timeout=400, cwd="/root/repo")
     assert r2.returncode == 0, r2.stderr[-500:]
     assert r2.stdout == r1.stdout, "final cyclized GFA differs"
+
+
+def test_cyclic_induced_pairwise_maf_matches_reference(tmp_path):
+    """-A under -c: non-colinear induced pairwise alignments in MAF format
+    (Hunt-Szymanski LCS + block merging/extension; src/alignment.cpp:229-907)
+    byte-identical to the reference."""
+    rng = np.random.default_rng(7)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 211))
+    base = (unit * 80)[:16000]
+
+    def mut(s, sub=0.008):
+        return "".join("ACGT"[rng.integers(0, 4)] if rng.random() < sub
+                       else ch for ch in s)
+
+    seqs = []
+    for i in range(2):
+        s = mut(base)
+        cut = int(rng.integers(4000, 9000))
+        dup = s[cut:cut + 3000]
+        s = s[:cut + 3000] + mut(dup, 0.004) + s[cut + 3000:]
+        seqs.append(s)
+    fa = tmp_path / "cycA.fa"
+    with open(fa, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">c{i}\n{s}\n")
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "our"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+    r1 = subprocess.run(
+        [REF, "-v", "0", "-c", "-y", "2000", "-A", str(ref_dir / "p"),
+         "--force-gfa-output", str(fa)],
+        capture_output=True, text=True, timeout=400)
+    assert r1.returncode == 0
+    env = dict(os.environ, CENTROLIGN_TPU_USE_DEVICE="0")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "centrolign_tpu.cli", "-v", "0", "-c", "-y",
+         "2000", "-A", str(our_dir / "p"), "--force-gfa-output", str(fa)],
+        capture_output=True, text=True, timeout=400, cwd="/root/repo",
+        env=env)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    files = sorted(os.listdir(ref_dir))
+    assert sorted(os.listdir(our_dir)) == files
+    assert any(f.endswith(".maf") for f in files)
+    for f in files:
+        assert (ref_dir / f).read_bytes() == (our_dir / f).read_bytes(), f
