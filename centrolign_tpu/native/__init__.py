@@ -53,53 +53,53 @@ def get_lib() -> ctypes.CDLL:
     lib.chain_dp_seq.restype = ctypes.c_int64
     lib.chain_dp_seq.argtypes = [
         ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_double, ctypes.c_double,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.psd_build.restype = None
     lib.psd_build.argtypes = [ctypes.c_int64, ctypes.c_int64] + \
-        [ctypes.POINTER(ctypes.c_int64)] * 6
+        [ctypes.c_void_p] * 6
     lib.chain_dp_general.restype = ctypes.c_int64
     lib.chain_dp_general.argtypes = [
         ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_double),
-        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_double, ctypes.c_double,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.esa_build.restype = None
     lib.esa_build.argtypes = [
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
     ]
     lib.esa_minimal_rare_matches.restype = ctypes.c_int64
     lib.esa_minimal_rare_matches.argtypes = [
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
-    I64P = ctypes.POINTER(ctypes.c_int64)
-    U8P = ctypes.POINTER(ctypes.c_uint8)
-    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.c_void_p
+    U8P = ctypes.c_void_p
+    I32P = ctypes.c_void_p
     lib.topological_order_native.restype = None
     lib.topological_order_native.argtypes = [ctypes.c_int64, I64P, I64P, I64P, I64P]
     lib.minmax_distance_native.restype = None
@@ -129,19 +129,19 @@ def get_lib() -> ctypes.CDLL:
     lib.chain_sparse_parity.argtypes = (
         [ctypes.c_int64] + [I64P] * 4 + [ctypes.c_int64] +
         [ctypes.c_int64, ctypes.c_int64] + [I64P] * 6 +
-        [ctypes.POINTER(ctypes.c_double)] + [I64P] * 4 +
+        [ctypes.c_void_p] + [I64P] * 4 +
         [ctypes.c_int64] + [I64P] * 5 +
         [ctypes.c_int64] + [I64P] * 5 +
         [ctypes.c_int64, I64P, ctypes.c_int64, I64P,
          ctypes.c_int64, I64P, ctypes.c_int64, I64P,
          ctypes.c_int64, I64P,
-         ctypes.c_int64, I64P, ctypes.POINTER(ctypes.c_double)])
-    DP = ctypes.POINTER(ctypes.c_double)
+         ctypes.c_int64, I64P, ctypes.c_void_p])
+    DP = ctypes.c_void_p
     lib.bonder_dev_constrained_partition.restype = ctypes.c_int64
     lib.bonder_dev_constrained_partition.argtypes = [
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_double), I64P,
-        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, I64P,
+        ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         I64P]
     lib.superbubbles_build.restype = ctypes.c_int64
@@ -195,11 +195,11 @@ def get_lib() -> ctypes.CDLL:
 
 
 def _ptr_i64(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    return a.ctypes.data_as(ctypes.c_void_p)
 
 
 def _ptr_f64(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    return a.ctypes.data_as(ctypes.c_void_p)
 
 
 def chain_dp_seq(s1, e1, s2, e2, w, init_w, fin_w, use_gap: bool,
@@ -316,7 +316,7 @@ def esa_minimal_rare_matches(sa, isa, lcp, start_comp, start_id, max_count):
 
 
 def _ptr_u8(a):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return a.ctypes.data_as(ctypes.c_void_p)
 
 
 def _csr64(pair):
@@ -378,8 +378,8 @@ def popoa_align(graph1, graph2, sources1, sources2, sinks1, sinks2, params):
         len(s1), _ptr_i64(s1), len(s2), _ptr_i64(s2),
         len(k1), _ptr_i64(k1), len(k2), _ptr_i64(k2),
         int(params.match), int(params.mismatch), len(go),
-        go.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ge.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        go.ctypes.data_as(ctypes.c_void_p),
+        ge.ctypes.data_as(ctypes.c_void_p),
         _ptr_i64(out), _ptr_i64(score))
     return out[:n].copy(), int(score[0])
 
