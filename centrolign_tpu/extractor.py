@@ -223,16 +223,13 @@ def _project_one(graph, step_index: "StepIndex", sub: SubGraphInfo):
     pids = step_index._pids[flat]
     pos = np.repeat(np.arange(len(order), dtype=_I64), counts)
     sub_nodes = order[pos]
-    # first-encounter order of paths over the traversal
-    first_pos = {}
-    enc = []
-    for p in pids:
-        p = int(p)
-        if p not in first_pos:
-            first_pos[p] = len(enc)
-            enc.append(p)
-    rank = np.array([first_pos[int(p)] for p in pids], dtype=_I64)
-    sort = np.lexsort((np.arange(total), rank))
+    # first-encounter order of paths over the traversal (vectorized)
+    vals, first_idx = np.unique(pids, return_index=True)
+    enc = vals[np.argsort(first_idx, kind="stable")].tolist()
+    rank_map = np.empty(graph.path_size, dtype=_I64)
+    rank_map[enc] = np.arange(len(enc), dtype=_I64)
+    rank = rank_map[pids]
+    sort = np.argsort(rank, kind="stable")
     spids = {}
     for p in enc:
         spids[p] = sub.subgraph.add_path(graph.path_name(p))

@@ -32,9 +32,14 @@ class _GrowBuf:
         self.data = np.empty(cap, dtype=_I64)
         self.n = 0
 
+    def _grow(self, cap: int) -> None:
+        new = np.empty(cap, dtype=_I64)
+        new[: self.n] = self.data[: self.n]
+        self.data = new
+
     def append(self, v: int) -> None:
         if self.n == len(self.data):
-            self.data = np.resize(self.data, max(16, 2 * len(self.data)))
+            self._grow(max(16, 2 * len(self.data)))
         self.data[self.n] = v
         self.n += 1
 
@@ -42,8 +47,7 @@ class _GrowBuf:
         vals = np.asarray(vals, dtype=_I64)
         need = self.n + len(vals)
         if need > len(self.data):
-            cap = max(need, 2 * len(self.data))
-            self.data = np.resize(self.data, cap)
+            self._grow(max(need, 2 * len(self.data)))
         self.data[self.n : need] = vals
         self.n = need
 
@@ -58,9 +62,14 @@ class _GrowBufU8:
         self.data = np.empty(cap, dtype=np.uint8)
         self.n = 0
 
+    def _grow(self, cap: int) -> None:
+        new = np.empty(cap, dtype=np.uint8)
+        new[: self.n] = self.data[: self.n]
+        self.data = new
+
     def append(self, v: int) -> None:
         if self.n == len(self.data):
-            self.data = np.resize(self.data, max(16, 2 * len(self.data)))
+            self._grow(max(16, 2 * len(self.data)))
         self.data[self.n] = v
         self.n += 1
 
@@ -68,7 +77,7 @@ class _GrowBufU8:
         vals = np.asarray(vals, dtype=np.uint8)
         need = self.n + len(vals)
         if need > len(self.data):
-            self.data = np.resize(self.data, max(need, 2 * len(self.data)))
+            self._grow(max(need, 2 * len(self.data)))
         self.data[self.n : need] = vals
         self.n = need
 
