@@ -409,20 +409,24 @@ class ExtractionContext:
         self.out_src = np.empty(max(V, 1), dtype=np.int64)
         self.out_snk = np.empty(max(V, 1), dtype=np.int64)
         self.counts = np.empty(4, dtype=np.int64)
+        # all buffers are fixed for the context's lifetime: marshal their
+        # addresses exactly once (ctypes data_as costs ~3us per array and
+        # extraction runs tens of thousands of times per subproblem)
+        self._fn = get_lib().extract_connecting_native
+        self._args_pre = (self.V, _ptr_i64(self.nptr), _ptr_i64(self.nind),
+                          _ptr_u8(self.labels))
+        self._args_mid = (self.C, _ptr_i64(self.table),
+                          _ptr_i64(self.path_head), _ptr_i64(self.index_on),
+                          _ptr_i64(self.fwd), _ptr_i64(self.epoch))
+        self._args_out = (_ptr_u8(self.out_labels), _ptr_i64(self.out_back),
+                          _ptr_i64(self.out_ef), _ptr_i64(self.out_et),
+                          _ptr_i64(self.out_src), _ptr_i64(self.out_snk),
+                          _ptr_i64(self.counts))
 
     def extract(self, from_id: int, to_id: int):
-        lib = get_lib()
         self.cur += 1
-        lib.extract_connecting_native(
-            self.V, _ptr_i64(self.nptr), _ptr_i64(self.nind),
-            _ptr_u8(self.labels), int(from_id), int(to_id),
-            self.C, _ptr_i64(self.table), _ptr_i64(self.path_head),
-            _ptr_i64(self.index_on),
-            _ptr_i64(self.fwd), _ptr_i64(self.epoch), self.cur,
-            _ptr_u8(self.out_labels), _ptr_i64(self.out_back),
-            _ptr_i64(self.out_ef), _ptr_i64(self.out_et),
-            _ptr_i64(self.out_src), _ptr_i64(self.out_snk),
-            _ptr_i64(self.counts))
+        self._fn(*self._args_pre, int(from_id), int(to_id),
+                 *self._args_mid, self.cur, *self._args_out)
         nn, ne, ns, nk = (int(x) for x in self.counts)
         return (self.out_labels[:nn].copy(), self.out_back[:nn].copy(),
                 self.out_ef[:ne].copy(), self.out_et[:ne].copy(),
