@@ -216,9 +216,45 @@ class Anchorer:
             ChainAlgorithm.Sparse, 1.0, masked_matches)
         total_weight = sum(self.anchor_weight(a) for a in anchors)
         total_length = sum(len(a.walk1) for a in anchors)
+        total_length += self._fill_in_length(
+            anchors, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2)
+        if chain_out is not None:
+            chain_out.extend(anchors)
+        return total_weight / total_length if total_length else 1.0
+
+    def _fill_in_length(self, anchors, graph1, graph2, tableau1, tableau2,
+                        xmerge1, xmerge2):
+        """Sum of min source->sink distances of the between-anchor
+        extractions (the length denominator of estimate_score_scale)."""
+        import os
+        if (tableau1 is not None
+                and os.environ.get("CENTROLIGN_TPU_PY_FILLIN") != "1"):
+            try:
+                from .native import chain_fill_length
+            except Exception:
+                chain_fill_length = None
+            if chain_fill_length is not None:
+                A = len(anchors)
+                eps = np.empty((A + 1, 4), dtype=_I64)
+                if A == 0:
+                    eps[0] = (tableau1.src_id, tableau1.snk_id,
+                              tableau2.src_id, tableau2.snk_id)
+                else:
+                    eps[0] = (tableau1.src_id, anchors[0].walk1[0],
+                              tableau2.src_id, anchors[0].walk2[0])
+                    for i in range(1, A):
+                        eps[i] = (anchors[i - 1].walk1[-1],
+                                  anchors[i].walk1[0],
+                                  anchors[i - 1].walk2[-1],
+                                  anchors[i].walk2[0])
+                    eps[A] = (anchors[-1].walk1[-1], tableau1.snk_id,
+                              anchors[-1].walk2[-1], tableau2.snk_id)
+                return chain_fill_length(graph1, graph2, xmerge1, xmerge2,
+                                         eps)
         from .extractor import extract_graphs_between, source_sink_minmax
         fill_in = extract_graphs_between(
             anchors, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2)
+        total = 0
         for sub1, sub2 in fill_in:
             fill_len = None
             for sub in (sub1, sub2):
@@ -227,10 +263,8 @@ class Anchorer:
                     break
                 d = source_sink_minmax(sub)[0]
                 fill_len = d if fill_len is None else min(fill_len, d)
-            total_length += fill_len
-        if chain_out is not None:
-            chain_out.extend(anchors)
-        return total_weight / total_length if total_length else 1.0
+            total += fill_len
+        return total
 
     # ------------------------------------------------------------------
 
@@ -267,6 +301,38 @@ class Anchorer:
                               algorithm, scale, masked_matches):
         if not anchors:
             return
+        import os
+        if (tableau1 is not None
+                and os.environ.get("CENTROLIGN_TPU_PY_FILLIN") != "1"
+                and algorithm in (ChainAlgorithm.Sparse,
+                                  ChainAlgorithm.SparseAffine)):
+            try:
+                from .native import anchor_fill_in
+            except Exception:
+                anchor_fill_in = None
+            if anchor_fill_in is not None:
+                n_threads = int(os.environ.get("CENTROLIGN_TPU_THREADS",
+                                               str(os.cpu_count() or 1)))
+                rows, fvals = anchor_fill_in(
+                    graph1, graph2, tableau1, tableau2, xmerge1, xmerge2,
+                    matches, anchors, algorithm, scale,
+                    self.gap_open, self.gap_extend, self.score_function,
+                    self.max_num_match_pairs, masked_matches, n_threads)
+                merged = []
+                for k in range(len(rows)):
+                    si, i1, i2, gb, ga = (int(x) for x in rows[k])
+                    m = matches[si]
+                    merged.append(Anchor(
+                        walk1=np.asarray(m.walks1[i1]),
+                        walk2=np.asarray(m.walks2[i2]),
+                        count1=m.count1, count2=m.count2,
+                        full_length=m.full_length, score=float(fvals[k, 0]),
+                        gap_before=gb, gap_after=ga,
+                        gap_score_before=float(fvals[k, 1]),
+                        gap_score_after=float(fvals[k, 2]),
+                        match_set=si, idx1=i1, idx2=i2))
+                anchors[:] = merged
+                return
         from .extractor import extract_graphs_between, project_paths
         from .match_finder import MatchSet
 

@@ -1,0 +1,71 @@
+"""Device availability guard.
+
+The chip can sit behind a high-latency shared tunnel that sometimes hangs
+outright; a jax call made on a dead link blocks forever and takes the whole
+pipeline (or a test subprocess) with it. ``device_healthy()`` probes the
+link once per process from a daemon thread with a timeout, so a dead link
+degrades the run to the native host path instead of hanging it.
+
+Controls:
+ - ``CENTROLIGN_TPU_USE_DEVICE=0`` forces the native path (no probe).
+ - ``CENTROLIGN_TPU_USE_DEVICE=1`` (default) probes, falls back on failure.
+ - ``CENTROLIGN_TPU_USE_DEVICE=force`` skips the probe (trust the link).
+ - ``CENTROLIGN_TPU_PROBE_TIMEOUT`` seconds (default 30).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+
+_healthy: bool | None = None
+_lock = threading.Lock()
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp, numpy as np\n"
+    "assert jax.devices()\n"
+    "x = jax.device_put(jnp.ones((256, 256), jnp.int32))\n"
+    "np.asarray(x + 1)\n"
+)
+
+
+def _probe() -> bool:
+    # isolated subprocess: a jax call on a dead link blocks forever and
+    # cannot be safely abandoned in-process (the runtime aborts at exit)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=float(os.environ.get("CENTROLIGN_TPU_PROBE_TIMEOUT",
+                                         "45")),
+            capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def device_healthy() -> bool:
+    """True iff the accelerator link answered a round-trip probe (cached)."""
+    global _healthy
+    mode = os.environ.get("CENTROLIGN_TPU_USE_DEVICE", "1")
+    if mode == "0":
+        return False
+    if mode == "force":
+        return True
+    with _lock:
+        if _healthy is None:
+            _healthy = _probe()
+            if not _healthy:
+                from . import logging as log
+                log.log(log.Basic,
+                        "Device link unavailable; using the native path.")
+        return _healthy
+
+
+def device_kind() -> str:
+    """'tpu', 'cpu', ... of the first device, or 'none' when unhealthy."""
+    if not device_healthy():
+        return "none"
+    import jax
+    return jax.devices()[0].platform

@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp", "cactus_snarls.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp", "cactus_snarls.cpp", "fill_in.cpp"]
 _SO = os.path.join(_DIR, "_native.so")
 _HASH = os.path.join(_DIR, "_native.hash")
 
@@ -31,9 +31,14 @@ def _source_hash() -> str:
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO]
+    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
+           "-o", _SO]
     cmd += [os.path.join(_DIR, s) for s in _SOURCES]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        cmd.remove("-fopenmp")  # toolchains without libgomp
+        subprocess.run(cmd, check=True, capture_output=True)
     with open(_HASH, "w") as f:
         f.write(_source_hash())
 
@@ -190,6 +195,30 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int64, I64P, I64P]
     lib.deletion_wfa_po_poa_native.restype = ctypes.c_int64
     lib.deletion_wfa_po_poa_native.argtypes = _wfa_common + [I64P, I64P]
+    lib.anchor_fill_in_native.restype = ctypes.c_int64
+    lib.anchor_fill_in_native.argtypes = (
+        # graphs
+        [ctypes.c_int64] + [I64P] * 4 + [ctypes.c_int64] + [I64P] * 4 +
+        # paths
+        [ctypes.c_int64, I64P, I64P, ctypes.c_int64, I64P, I64P] +
+        # xmerge views
+        [ctypes.c_int64] + [I64P] * 3 + [ctypes.c_int64] + [I64P] * 3 +
+        # matches
+        [ctypes.c_int64] + [I64P] * 10 +
+        # top chain
+        [ctypes.c_int64, I64P, DP] +
+        # sentinels
+        [ctypes.c_int64] * 4 +
+        # config
+        [ctypes.c_int, ctypes.c_double, DP, DP,
+         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+         ctypes.c_int64, ctypes.c_int64, I64P, ctypes.c_int,
+         ctypes.c_int64, I64P, DP])
+    lib.chain_fill_length_native.restype = ctypes.c_int64
+    lib.chain_fill_length_native.argtypes = (
+        [ctypes.c_int64, I64P, I64P, ctypes.c_int64] + [I64P] * 3 +
+        [ctypes.c_int64, I64P, I64P, ctypes.c_int64] + [I64P] * 3 +
+        [ctypes.c_int64, I64P])
     _lib = lib
     return lib
 
@@ -644,6 +673,100 @@ def chain_affine_parity(graph1, graph2, matches, num_sets, weights, xm1, xm2,
         1 if use_small else 0,
         cap, _ptr_i64(out_rows), _ptr_f64(out_f))
     return out_rows[:nout].copy(), out_f[:nout].copy()
+
+
+def _paths_args(graph):
+    paths = [graph.path(p) for p in range(graph.path_size)]
+    off = np.zeros(len(paths) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in paths], out=off[1:])
+    nodes = (np.concatenate(paths).astype(np.int64) if paths
+             else np.empty(0, dtype=np.int64))
+    return graph.path_size, off, np.ascontiguousarray(nodes)
+
+
+def anchor_fill_in(graph1, graph2, tableau1, tableau2, xm1, xm2, matches,
+                   anchors, algorithm, scale, gap_open, gap_extend,
+                   score_function, max_num_match_pairs, masked=None,
+                   n_threads=0):
+    """Whole fill-in anchoring pass in one native call (extraction,
+    projection, divvying, per-gap budgets + PathMerge + parity chaining,
+    merge). Returns (rows (N, 5) of (orig_set, idx1, idx2, gap_before,
+    gap_after), fvals (N, 3) of (score, gap_score_before, gap_score_after))
+    for the merged chain."""
+    from ..path_merge import xmerge_view_arrays
+    lib = get_lib()
+    n1ptr, n1ind = _csr64(graph1.next_csr())
+    p1ptr, p1ind = _csr64(graph1.prev_csr())
+    n2ptr, n2ind = _csr64(graph2.next_csr())
+    p2ptr, p2ind = _csr64(graph2.prev_csr())
+    P1, poff1, pnodes1 = _paths_args(graph1)
+    P2, poff2, pnodes2 = _paths_args(graph2)
+    t1, io1, ci1, _co1, _cn1 = xmerge_view_arrays(xm1)
+    t2, io2, ci2, _co2, _cn2 = xmerge_view_arrays(xm2)
+    zero_w = np.zeros(len(matches))
+    (set_n1, set_n2, set_L, set_c1, set_c2, set_fl, _w,
+     w1_off, w1, w2_off, w2) = _flatten_match_sets(matches, len(matches),
+                                                   zero_w)
+    A = len(anchors)
+    top_rows = np.empty((A, 5), dtype=np.int64)
+    top_fvals = np.empty((A, 3), dtype=np.float64)
+    for k, a in enumerate(anchors):
+        top_rows[k] = (a.match_set, a.idx1, a.idx2, a.gap_before, a.gap_after)
+        top_fvals[k] = (a.score, a.gap_score_before, a.gap_score_after)
+    if masked:
+        mrows = np.array(sorted(masked), dtype=np.int64).reshape(-1, 3)
+    else:
+        mrows = np.empty((0, 3), dtype=np.int64)
+    go = np.ascontiguousarray(gap_open, dtype=np.float64)
+    ge = np.ascontiguousarray(gap_extend, dtype=np.float64)
+    sf = score_function
+    cap = 4 * A + 1024
+    while True:
+        out_rows = np.empty((cap, 5), dtype=np.int64)
+        out_f = np.empty((cap, 3), dtype=np.float64)
+        n = lib.anchor_fill_in_native(
+            graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
+            _ptr_i64(p1ptr), _ptr_i64(p1ind),
+            graph2.node_size, _ptr_i64(n2ptr), _ptr_i64(n2ind),
+            _ptr_i64(p2ptr), _ptr_i64(p2ind),
+            P1, _ptr_i64(poff1), _ptr_i64(pnodes1),
+            P2, _ptr_i64(poff2), _ptr_i64(pnodes2),
+            t1.shape[1], _ptr_i64(t1), _ptr_i64(io1), _ptr_i64(ci1),
+            t2.shape[1], _ptr_i64(t2), _ptr_i64(io2), _ptr_i64(ci2),
+            len(matches), _ptr_i64(set_n1), _ptr_i64(set_n2), _ptr_i64(set_L),
+            _ptr_i64(set_c1), _ptr_i64(set_c2), _ptr_i64(set_fl),
+            _ptr_i64(w1_off), _ptr_i64(w1), _ptr_i64(w2_off), _ptr_i64(w2),
+            A, _ptr_i64(top_rows), _ptr_f64(top_fvals),
+            tableau1.src_id, tableau1.snk_id, tableau2.src_id,
+            tableau2.snk_id,
+            int(algorithm), float(scale), _ptr_f64(go), _ptr_f64(ge),
+            int(sf.anchor_score_function), float(sf.pair_count_power),
+            float(sf.length_intercept), float(sf.length_decay_power),
+            int(max_num_match_pairs),
+            len(mrows), _ptr_i64(np.ascontiguousarray(mrows)),
+            int(n_threads),
+            cap, _ptr_i64(out_rows), _ptr_f64(out_f))
+        if n <= cap:
+            return out_rows[:n].copy(), out_f[:n].copy()
+        cap = n
+
+
+def chain_fill_length(graph1, graph2, xm1, xm2, endpoints):
+    """Total min fill-in length over the (G, 4) gap endpoints
+    (from1, to1, from2, to2) — the native half of estimate_score_scale."""
+    from ..path_merge import xmerge_view_arrays
+    lib = get_lib()
+    n1ptr, n1ind = _csr64(graph1.next_csr())
+    n2ptr, n2ind = _csr64(graph2.next_csr())
+    t1, io1, ci1, _co1, _cn1 = xmerge_view_arrays(xm1)
+    t2, io2, ci2, _co2, _cn2 = xmerge_view_arrays(xm2)
+    endpoints = np.ascontiguousarray(endpoints, dtype=np.int64)
+    return int(lib.chain_fill_length_native(
+        graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
+        t1.shape[1], _ptr_i64(t1), _ptr_i64(io1), _ptr_i64(ci1),
+        graph2.node_size, _ptr_i64(n2ptr), _ptr_i64(n2ind),
+        t2.shape[1], _ptr_i64(t2), _ptr_i64(io2), _ptr_i64(ci2),
+        len(endpoints), _ptr_i64(endpoints)))
 
 
 def path_merge_build(graph, tableau=None):

@@ -105,6 +105,16 @@ class Stitcher:
         if os.environ.get("CENTROLIGN_TPU_USE_DEVICE", "1") == "0":
             self.use_device = False
 
+    def _device_ok(self) -> bool:
+        """Probe the chip link once per process; a dead tunnel degrades to
+        the native path instead of hanging the pipeline."""
+        if not self.use_device:
+            return False
+        from .device import device_healthy
+        if not device_healthy():
+            self.use_device = False
+        return self.use_device
+
     def stitch(self, anchor_segments, graph1, graph2, tableau1, tableau2,
                xmerge1, xmerge2) -> np.ndarray:
         within, between = extract_graphs_between_segments(
@@ -238,7 +248,8 @@ class Stitcher:
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
         if (self.use_device and V1 * V2 >= self.device_min_cells
                 and _is_chain(ex1) and _is_chain(ex2)
-                and params.num_pw == self.alignment_params.num_pw):
+                and params.num_pw == self.alignment_params.num_pw
+                and self._device_ok()):
             order1 = _chain_order(ex1)
             order2 = _chain_order(ex2)
             # chain subgraph node ids may not be in order; remap through the
