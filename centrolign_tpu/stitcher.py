@@ -146,8 +146,13 @@ class Stitcher:
         if not slots:
             return
         from .ops.gotoh_pallas import gotoh_align_pallas_batched
+        from . import metrics
         jobs = [stitched[k].job for k in slots]
+        t0 = metrics.timer()
         results = gotoh_align_pallas_batched(jobs, self.alignment_params)
+        cells = sum((len(s1) + 1) * (len(s2) + 1) for s1, s2, _sw in jobs)
+        metrics.record("pod", cells, metrics.timer() - t0,
+                       f"batch={len(jobs)}")
         for k, (aln, _score) in zip(slots, results):
             stitched[k] = stitched[k].finish(aln)
 
@@ -200,12 +205,18 @@ class Stitcher:
 
     def _do_alignment(self, ex1, ex2, only_deletion_alns, params) -> np.ndarray:
         """(reference stitcher.hpp:237-370)"""
+        from . import metrics
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
         mat_size = (V1 + 1) * (V2 + 1)
+        t0 = metrics.timer()
         if V2 == 0:
-            return pure_deletion_alignment(ex1.subgraph, ex1.sources, ex1.sinks, params)
+            aln = pure_deletion_alignment(ex1.subgraph, ex1.sources,
+                                          ex1.sinks, params)
+            metrics.record("pd1", V1, metrics.timer() - t0)
+            return aln
         if V1 == 0:
             aln = pure_deletion_alignment(ex2.subgraph, ex2.sources, ex2.sinks, params)
+            metrics.record("pd2", V2, metrics.timer() - t0)
             return swap_sides(aln)
         min1, max1 = source_sink_minmax(ex1)
         min2, max2 = source_sink_minmax(ex2)
@@ -219,6 +230,8 @@ class Stitcher:
             aln, _ = deletion_wfa_po_poa(
                 ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
                 ex1.sinks, ex2.sinks, params)
+            metrics.record("ad1", mat_size, metrics.timer() - t0,
+                           f"{V1}x{V2}")
             return aln
         if (max2 * self.deletion_alignment_ratio <= min1
                 and max2 <= self.deletion_alignment_short_max_size
@@ -227,6 +240,8 @@ class Stitcher:
             aln, _ = deletion_wfa_po_poa(
                 ex2.subgraph, ex1.subgraph, ex2.sources, ex1.sources,
                 ex2.sinks, ex1.sinks, params)
+            metrics.record("ad2", mat_size, metrics.timer() - t0,
+                           f"{V1}x{V2}")
             return swap_sides(aln)
         if (mat_size < self.max_wfa_size
                 and ((min2 * r >= min1 and min2 <= max1 * r)
@@ -239,10 +254,13 @@ class Stitcher:
                 ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
                 ex1.sinks, ex2.sinks, params,
                 prune_limit=2 * self.wfa_pruning_dist)
+            metrics.record("w", mat_size, metrics.timer() - t0, f"{V1}x{V2}")
             return aln
-        return greedy_partial_alignment(
+        aln = greedy_partial_alignment(
             ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
             ex1.sinks, ex2.sinks, params)
+        metrics.record("u", mat_size, metrics.timer() - t0, f"{V1}x{V2}")
+        return aln
 
     def _po_poa(self, ex1, ex2, params, swapped: bool = False):
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
@@ -266,8 +284,12 @@ class Stitcher:
                 return out
 
             return _Pending(job=(s1, s2, swapped), finish=finish)
+        from . import metrics
+        t0 = metrics.timer()
         aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
                               ex2.sources, ex1.sinks, ex2.sinks, params)
+        metrics.record("po", (V1 + 1) * (V2 + 1), metrics.timer() - t0,
+                       f"{V1}x{V2}")
         return aln
 
     # ------------------------------------------------------------------
