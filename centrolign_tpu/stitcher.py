@@ -285,6 +285,20 @@ class Stitcher:
 
             return _Pending(job=(s1, s2, swapped), finish=finish)
         from . import metrics
+        if (self.use_device and V1 * V2 >= self.device_min_cells
+                and self._device_ok()):
+            # DAG x DAG (and truncated-parameter chain) gaps: the
+            # topological-wavefront device kernel (ops/popoa_dag.py);
+            # graphs outside its envelope return None and fall through
+            from .ops.popoa_dag import popoa_dag_device
+            t0 = metrics.timer()
+            got = popoa_dag_device(
+                ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
+                ex1.sinks, ex2.sinks, params)
+            if got is not None:
+                metrics.record("pod", (V1 + 1) * (V2 + 1),
+                               metrics.timer() - t0, f"dag {V1}x{V2}")
+                return got[0]
         t0 = metrics.timer()
         aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
                               ex2.sources, ex1.sinks, ex2.sinks, params)
