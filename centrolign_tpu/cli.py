@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--skip-calibration", action="store_true")
     ap.add_argument("--force-gfa-output", action="store_true")
     ap.add_argument("--bond-prefix", default="")
+    # extension over the reference CLI: layer-parallel subproblem dispatch
+    # across worker processes/hosts (parallel/scheduler.py)
+    ap.add_argument("--hosts", type=int, default=None)
     return ap
 
 
@@ -132,7 +135,14 @@ def main(argv=None) -> int:
     if params.get("restart"):
         core.restart()
 
-    core.execute()
+    import os
+    n_hosts = args.hosts if args.hosts is not None else int(
+        os.environ.get("CENTROLIGN_TPU_HOSTS", "1"))
+    if n_hosts > 1:
+        from .parallel.scheduler import distributed_execute
+        distributed_execute(core, n_hosts)
+    else:
+        core.execute()
 
     if len(seq_names) == 2 and not args.force_gfa_output:
         root = core.root_subproblem()

@@ -35,6 +35,78 @@ from .io.gfa import write_gfa, read_gfa
 from .modify_graph import add_sentinels
 
 
+def pairwise_align_step(sub1, sub2, max_count, score_function, anchorer,
+                        partitioner, stitcher, match_finder=None,
+                        is_main_execution=True) -> np.ndarray:
+    """One pairwise graph-graph alignment (the compute of one subproblem,
+    reference core.hpp:256-403 minus the fuse): sentinel reassignment,
+    match finding, reachability, chain/partition/stitch. Shared by the
+    serial Core.do_execution and the multi-host scheduler workers."""
+    reassign_sentinels(sub1.graph, sub1.tableau, 5, 6)
+    reassign_sentinels(sub2.graph, sub2.tableau, 7, 8)
+    logmod.log(logmod.Verbose, "Finding matches.")
+    if match_finder is None:
+        matches = find_matches(sub1.graph, sub2.graph,
+                               sub1.tableau, sub2.tableau,
+                               max_count, score_function)
+    else:
+        matches = match_finder.find_matches(
+            sub1.graph, sub2.graph, sub1.tableau, sub2.tableau)
+    logmod.log(logmod.Verbose, "Computing reachability.")
+    xm1 = PathMerge(sub1.graph, sub1.tableau)
+    xm2 = PathMerge(sub2.graph, sub2.tableau)
+    anchors = anchorer.anchor_chain(
+        matches, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
+        xm1, xm2)
+    logmod.log(logmod.Verbose, f"Chained {len(anchors)} anchors.")
+    segments = partitioner.partition_anchors(
+        anchors, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
+        xm1, xm2, not is_main_execution)
+    logmod.log(logmod.Verbose,
+               f"Partitioned into {len(segments)} alignable segments; "
+               "stitching.")
+    segments = [stitcher.despecify_indel_breakpoints(seg)
+                for seg in segments]
+    return stitcher.stitch(
+        segments, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
+        xm1, xm2)
+
+
+def fuse_step(sub1, sub2, alignment, preserve=False):
+    """Fuse child graphs along the alignment into the parent graph
+    (reference core.hpp:369-389). Returns (graph, tableau)."""
+    logmod.log(logmod.Verbose, "Fusing MSAs along the alignment.")
+    fused = sub1.graph.copy() if preserve else sub1.graph
+    fuse(fused, sub2.graph, sub1.tableau, sub2.tableau, alignment)
+    return fused, sub1.tableau
+
+
+def leaf_intrinsic_scale(sub, max_count, score_function, anchorer):
+    """Per-leaf self-match + scale estimate (the per-leaf body of
+    calibration, reference src/core.cpp:122-175). Returns
+    (scale, matches, chain) — matches/chain feed the -c bonding rounds."""
+    from .path_merge import ChainMerge
+    reassign_sentinels(sub.graph, sub.tableau, 5, 6)
+    dummy = SentinelTableau(
+        src_id=sub.tableau.src_id, snk_id=sub.tableau.snk_id,
+        src_sentinel=7, snk_sentinel=8)
+    matches = find_matches(sub.graph, sub.graph, sub.tableau, dummy,
+                           max_count, score_function)
+    diagonal = []
+    for ms in matches:
+        for walk in ms.walks1:
+            diagonal.append(MatchSet(
+                walks1=walk[None, :], walks2=walk[None, :],
+                count1=ms.count1, count2=ms.count2,
+                full_length=ms.full_length))
+    xm = ChainMerge(sub.graph, sub.tableau)
+    chain_out = []
+    scale = anchorer.estimate_score_scale(
+        diagonal, sub.graph, sub.graph, sub.tableau, dummy,
+        xm, xm, chain_out=chain_out)
+    return scale, matches, chain_out
+
+
 class Core:
     def __init__(self, names_and_sequences, tree: Tree):
         self.score_function = ScoreFunction()
@@ -99,24 +171,8 @@ class Core:
         for i, sub in enumerate(leaves):
             logmod.log(logmod.Verbose,
                        f"Estimating scale for sequence {i + 1}.")
-            reassign_sentinels(sub.graph, sub.tableau, 5, 6)
-            dummy = SentinelTableau(
-                src_id=sub.tableau.src_id, snk_id=sub.tableau.snk_id,
-                src_sentinel=7, snk_sentinel=8)
-            matches = find_matches(sub.graph, sub.graph, sub.tableau, dummy,
-                                   self.max_count, self.score_function)
-            diagonal = []
-            for ms in matches:
-                for walk in ms.walks1:
-                    diagonal.append(MatchSet(
-                        walks1=walk[None, :], walks2=walk[None, :],
-                        count1=ms.count1, count2=ms.count2,
-                        full_length=ms.full_length))
-            xm = ChainMerge(sub.graph, sub.tableau)
-            chain_out = []
-            scale = self.anchorer.estimate_score_scale(
-                diagonal, sub.graph, sub.graph, sub.tableau, dummy,
-                xm, xm, chain_out=chain_out)
+            scale, matches, chain_out = leaf_intrinsic_scale(
+                sub, self.max_count, self.score_function, self.anchorer)
             scales.append(scale)
             logmod.log(logmod.Debug,
                        f"Computed intrinsic scale of {scale} for sequence {sub.name}")
@@ -535,56 +591,22 @@ class Core:
                 logmod.log(logmod.Verbose,
                            "Problem already finished from restarted run.")
                 continue
-            reassign_sentinels(sub1.graph, sub1.tableau, 5, 6)
-            reassign_sentinels(sub2.graph, sub2.tableau, 7, 8)
-            logmod.log(logmod.Verbose, "Finding matches.")
-            if match_finder is None:
-                matches = find_matches(sub1.graph, sub2.graph,
-                                       sub1.tableau, sub2.tableau,
-                                       self.max_count, self.score_function)
-            else:
-                matches = match_finder.find_matches(
-                    sub1.graph, sub2.graph, sub1.tableau, sub2.tableau)
-            logmod.log(logmod.Verbose, "Computing reachability.")
-            xm1 = PathMerge(sub1.graph, sub1.tableau)
-            xm2 = PathMerge(sub2.graph, sub2.tableau)
-            parent.alignment = self.align(matches, sub1, sub2, xm1, xm2,
-                                          is_main_execution)
+            parent.alignment = pairwise_align_step(
+                sub1, sub2, self.max_count, self.score_function,
+                self.anchorer, self.partitioner, self.stitcher,
+                match_finder=match_finder,
+                is_main_execution=is_main_execution)
             if self.subalignments_filepath and is_main_execution:
                 self.emit_subalignment(parent, sub1, sub2)
-            logmod.log(logmod.Verbose, "Fusing MSAs along the alignment.")
-            if self.preserve_subproblems:
-                fused = sub1.graph.copy()
-            else:
-                fused = sub1.graph
-            fuse(fused, sub2.graph, sub1.tableau, sub2.tableau,
-                 parent.alignment)
-            parent.graph = fused
-            parent.tableau = sub1.tableau
+            parent.graph, parent.tableau = fuse_step(
+                sub1, sub2, parent.alignment,
+                preserve=self.preserve_subproblems)
             parent.complete = True
             if not self.preserve_subproblems:
                 sub1.graph = None
                 sub2.graph = None
             if self.subproblems_prefix and is_main_execution:
                 self.emit_subproblem(parent)
-
-    def align(self, matches, sub1: Subproblem, sub2: Subproblem, xm1, xm2,
-              is_main_execution: bool) -> np.ndarray:
-        """(reference core.hpp:182-254)"""
-        anchors = self.anchorer.anchor_chain(
-            matches, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
-            xm1, xm2)
-        logmod.log(logmod.Verbose, f"Chained {len(anchors)} anchors.")
-        segments = self.partitioner.partition_anchors(
-            anchors, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
-            xm1, xm2, not is_main_execution)
-        logmod.log(logmod.Verbose,
-                   f"Partitioned into {len(segments)} alignable segments; stitching.")
-        segments = [self.stitcher.despecify_indel_breakpoints(seg)
-                    for seg in segments]
-        return self.stitcher.stitch(
-            segments, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
-            xm1, xm2)
 
     # ------------------------------------------------------------------
 

@@ -12,4 +12,6 @@ Axes of parallelism exploited by this package:
   (reference executes them serially, src/execution.cpp:83-124).
 """
 
-from .sharded_gotoh import sharded_gotoh_scores, make_alignment_mesh  # noqa: F401
+from .sharded_gotoh import (sharded_gotoh_scores, sharded_gotoh_align,
+                            make_alignment_mesh)  # noqa: F401
+from .scheduler import distributed_execute  # noqa: F401

@@ -1,0 +1,162 @@
+"""Multi-host subproblem scheduler: layer-wise data parallelism over the
+guide tree.
+
+The reference executes subproblems strictly serially (reference
+src/execution.cpp:83-124); sibling subtrees are independent, so the guide
+tree decomposes into dependency layers (Execution.independent_layers) whose
+members can run on different hosts concurrently. This module dispatches each
+layer over a pool of worker processes and gathers the fused parent graphs
+for the next layer.
+
+Process model / transport: one OS process per "host" here; on a TPU pod the
+identical layer schedule runs with one process per physical host (each
+probing its own chips) and the same per-subproblem payloads exchanged over
+DCN — the unit of exchange (a completed subproblem's graph) is exactly the
+reference's checkpoint contract (GFA per subproblem, reference
+src/execution.cpp:223-279). In-process transport uses pickled graph arrays
+so distributed results are bit-identical to the serial path (GFA text is
+the durable on-disk form; -S files written by the main process match the
+serial run byte-for-byte).
+
+Determinism: every subproblem's result depends only on its two children and
+the calibrated parameters, so the distributed output is byte-identical to
+the serial run regardless of worker count or completion order.
+
+Coverage: the colinear pipeline (calibration + progressive MSA + all of
+-s/-S/-A/CIGAR outputs). Cyclization (-c) and checkpoint restart keep the
+serial path (their per-leaf bonding rounds carry cross-round mask state).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import pickle
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+
+from .. import logging as logmod
+
+
+def _worker_align(cfg_bytes, payload1, payload2):
+    """Run one pairwise subproblem: returns pickled (graph, tableau,
+    alignment) of the fused parent."""
+    from ..core import pairwise_align_step, fuse_step
+    from ..execution import Subproblem
+    max_count, score_function, anchorer, partitioner, stitcher = \
+        pickle.loads(cfg_bytes)
+    sub1, sub2 = Subproblem(), Subproblem()
+    sub1.graph, sub1.tableau = pickle.loads(payload1)
+    sub2.graph, sub2.tableau = pickle.loads(payload2)
+    alignment = pairwise_align_step(
+        sub1, sub2, max_count, score_function, anchorer, partitioner,
+        stitcher)
+    graph, tableau = fuse_step(sub1, sub2, alignment)
+    return pickle.dumps((graph, tableau, alignment),
+                        protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _worker_scale(cfg_bytes, payload):
+    """Per-leaf intrinsic-scale estimate (calibration)."""
+    from ..core import leaf_intrinsic_scale
+    from ..execution import Subproblem
+    max_count, score_function, anchorer = pickle.loads(cfg_bytes)
+    sub = Subproblem()
+    sub.graph, sub.tableau = pickle.loads(payload)
+    scale, _matches, _chain = leaf_intrinsic_scale(
+        sub, max_count, score_function, anchorer)
+    return float(scale)
+
+
+def distributed_execute(core, n_hosts: int) -> None:
+    """Drive Core's colinear pipeline with layer-parallel subproblem
+    dispatch across `n_hosts` worker processes. Falls back to the serial
+    Core.execute for -c / restart runs."""
+    if (core.cyclize_tandem_duplications
+            or core._restarted_bond_alignments is not None):
+        logmod.log(logmod.Basic,
+                   "Cyclization requested; running serially.")
+        core.execute()
+        return
+
+    ex = core.main_execution
+    tree = ex.tree
+    ctx = mp.get_context("spawn")
+    keep_graphs = bool(core.preserve_subproblems
+                       or core.subalignments_filepath
+                       or len(ex.execution_order) == 1)
+
+    with ProcessPoolExecutor(max_workers=n_hosts, mp_context=ctx) as pool:
+        # ---- calibration: per-leaf scale estimates, embarrassingly
+        # parallel (reference src/core.cpp:122-175 runs them serially)
+        if not core.skip_calibration:
+            logmod.log(logmod.Basic,
+                       "Calibrating scale of anchoring parameters.")
+            cfg0 = pickle.dumps(
+                (core.max_count, core.score_function, core.anchorer))
+            leaves = list(ex.leaf_subproblems())
+            futs = [pool.submit(_worker_scale, cfg0,
+                                pickle.dumps((s.graph, s.tableau)))
+                    for s in leaves]
+            scales = [f.result() for f in futs]
+            for sub, scale in zip(leaves, scales):
+                logmod.log(logmod.Debug,
+                           f"Computed intrinsic scale of {scale} for "
+                           f"sequence {sub.name}")
+            if scales:
+                core.score_function.score_scale = float(np.mean(scales))
+
+        # ---- layer-wise progressive MSA
+        logmod.log(logmod.Minimal, "Beginning MSA.")
+        cfg = pickle.dumps((core.max_count, core.score_function,
+                            core.anchorer, core.partitioner, core.stitcher))
+        layers = ex.independent_layers()
+        computed = set()
+        for li, layer in enumerate(layers):
+            logmod.log(logmod.Basic,
+                       f"Executing layer {li + 1} of {len(layers)} "
+                       f"({len(layer)} subproblem(s)) across {n_hosts} "
+                       "host(s).")
+            futs = {}
+            for node_id in layer:
+                if ex.subproblems[node_id].complete:
+                    continue  # restarted from a checkpoint
+                c1, c2 = tree.get_children(node_id)
+                s1, s2 = ex.subproblems[c1], ex.subproblems[c2]
+                futs[node_id] = pool.submit(
+                    _worker_align, cfg,
+                    pickle.dumps((s1.graph, s1.tableau)),
+                    pickle.dumps((s2.graph, s2.tableau)))
+            for node_id in layer:
+                if node_id not in futs:
+                    continue
+                graph, tableau, alignment = pickle.loads(
+                    futs[node_id].result())
+                parent = ex.subproblems[node_id]
+                parent.graph = graph
+                parent.tableau = tableau
+                parent.alignment = alignment
+                parent.complete = True
+                computed.add(node_id)
+            if not keep_graphs:
+                for node_id in layer:
+                    for c in tree.get_children(node_id):
+                        ex.subproblems[c].graph = None
+
+    # ---- side outputs, emitted in the serial execution order so the
+    # files are byte-identical to a serial run
+    if core.subalignments_filepath or core.subproblems_prefix:
+        for node_id in ex.execution_order:
+            if node_id not in computed:
+                continue
+            parent = ex.subproblems[node_id]
+            if core.subalignments_filepath:
+                c1, c2 = tree.get_children(node_id)
+                core.emit_subalignment(parent, ex.subproblems[c1],
+                                       ex.subproblems[c2])
+            if core.subproblems_prefix:
+                core.emit_subproblem(parent)
+
+    if core.induced_pairwise_prefix:
+        core.output_pairwise_alignments(False)

@@ -59,7 +59,8 @@ def _shift_right_sharded(x, axis_name, fill):
     return jnp.where(is_lane0 & (idx == 0), fill, shifted)
 
 
-def _make_step(npw: int, lane_is_i: bool):
+def _make_step(npw: int, lane_is_i: bool, emit_bp: bool = False,
+               swap_pref: bool = False):
     def step(carry, d, a_lanes, b_revpad, V1, V2, match, mismatch, go, ge,
              lane_base, Wl, W_total):
         """One anti-diagonal on this shard's lane block (all per-problem
@@ -117,7 +118,29 @@ def _make_step(npw: int, lane_is_i: bool):
         # capture the opt cell's value when this diagonal contains it
         is_opt = (i_vec == V1[:, None]) & (j_vec == V2[:, None])
         opt_here = jnp.max(jnp.where(is_opt, Mnew, _NEG), axis=-1)
-        return (Mnew, M1, Inew, Dnew), opt_here
+        if not emit_bp:
+            return (Mnew, M1, Inew, Dnew), opt_here
+
+        # packed backpointers, identical to ops.gotoh._diag_math:94-117
+        code = jnp.zeros(Mnew.shape, jnp.int32)
+        order = []
+        for pw in range(npw):
+            if swap_pref:
+                order.append((Dnew[pw], 2 + 2 * pw))
+                order.append((Inew[pw], 1 + 2 * pw))
+            else:
+                order.append((Inew[pw], 1 + 2 * pw))
+                order.append((Dnew[pw], 2 + 2 * pw))
+        for comp_val, comp_code in reversed(order):
+            code = jnp.where(comp_val == Mnew, comp_code, code)
+        code = jnp.where(corner, 0, code)
+        bp = code
+        for pw in range(npw):
+            i_open = (Inew[pw] == M_up - go_ge[pw, 0]) & (Inew[pw] > _NEG)
+            bp = bp | (i_open.astype(jnp.int32) << (3 + pw))
+            d_open = (Dnew[pw] == M_left - go_ge[pw, 0]) & (Dnew[pw] > _NEG)
+            bp = bp | (d_open.astype(jnp.int32) << (6 + pw))
+        return (Mnew, M1, Inew, Dnew), (opt_here, bp.astype(jnp.uint16))
 
     return step
 
@@ -154,6 +177,82 @@ def _sharded_fill(a, b, V1, V2, match, mismatch, go, ge, *, mesh,
         in_specs=(P("gap", "lane"), P("gap", None), P("gap"), P("gap")),
         out_specs=P("gap"))
     return fn(a, b, V1, V2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "num_diags", "lane_is_i", "npw", "Wl_total",
+                     "swap_pref"))
+def _sharded_fill_bp(a, b, V1, V2, match, mismatch, go, ge, *, mesh,
+                     num_diags: int, lane_is_i: bool, npw: int,
+                     Wl_total: int, swap_pref: bool):
+    """Like _sharded_fill but also streams the packed backpointer matrix
+    (num_diags, B, W) out of the scan — the lane-sharded fill is no longer
+    score-only. Returns (scores (B,), bp (num_diags, B, W) uint16)."""
+    step_fn = _make_step(npw, lane_is_i, emit_bp=True, swap_pref=swap_pref)
+
+    def local(a_blk, b_blk, V1_blk, V2_blk):
+        Bl, Wl = a_blk.shape
+        lane_base = jax.lax.axis_index("lane") * Wl
+        M0 = jax.lax.pcast(jnp.full((Bl, Wl), _NEG, jnp.int32),
+                           ("lane", "gap"), to="varying")
+        I0 = jax.lax.pcast(jnp.full((npw, Bl, Wl), _NEG, jnp.int32),
+                           ("lane", "gap"), to="varying")
+
+        def body(carry, d):
+            return step_fn(carry, d, a_blk, b_blk, V1_blk, V2_blk,
+                           match, mismatch, go, ge, lane_base, Wl, Wl_total)
+
+        _, (opts, bp) = jax.lax.scan(
+            body, (M0, M0, I0, I0), jnp.arange(num_diags, dtype=jnp.int32))
+        score_local = jnp.max(opts, axis=0)
+        return jax.lax.pmax(score_local, "lane"), bp
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("gap", "lane"), P("gap", None), P("gap"), P("gap")),
+        out_specs=(P("gap"), P(None, "gap", "lane")))
+    return fn(a, b, V1, V2)
+
+
+def sharded_gotoh_align(seq1, seq2, params, mesh: Mesh,
+                        swap_pref: bool = False):
+    """One large gap matrix, lane-sharded across the mesh with per-diagonal
+    halo exchange, backpointers streamed out of the scan, traceback on the
+    host over the gathered matrix. Alignment and score are bit-identical to
+    the single-chip ops.gotoh.gotoh_align — this is how a DP too large for
+    one chip's memory is aligned across chips (SURVEY §5.7)."""
+    from ..ops.gotoh import _build_skew_inputs, _bucket, _traceback_bp
+
+    lane_n = mesh.shape["lane"] * mesh.shape["gap"]
+    flat = Mesh(np.asarray(mesh.devices).reshape(1, -1), ("gap", "lane"))
+    s1 = np.asarray(seq1, dtype=np.int32)
+    s2 = np.asarray(seq2, dtype=np.int32)
+    V1, V2 = len(s1), len(s2)
+    lane_is_i = V1 <= V2
+    W = _bucket((V1 if lane_is_i else V2) + 1, 128 * lane_n)
+    num_diags = V1 + V2 + 1
+    b_cap = num_diags + 128
+    a, b = _build_skew_inputs(s1, s2, lane_is_i, W, b_cap)
+
+    go = jnp.asarray(params.gap_open, dtype=jnp.int32)
+    ge = jnp.asarray(params.gap_extend, dtype=jnp.int32)
+    sh_a = NamedSharding(flat, P("gap", "lane"))
+    sh_b = NamedSharding(flat, P("gap", None))
+    sh_v = NamedSharding(flat, P("gap"))
+    a_dev = jax.device_put(jnp.asarray(a[None]), sh_a)
+    b_dev = jax.device_put(jnp.asarray(b[None]), sh_b)
+    v1_dev = jax.device_put(jnp.asarray([V1], np.int32), sh_v)
+    v2_dev = jax.device_put(jnp.asarray([V2], np.int32), sh_v)
+
+    score, bp = _sharded_fill_bp(
+        a_dev, b_dev, v1_dev, v2_dev,
+        jnp.int32(params.match), jnp.int32(params.mismatch), go, ge,
+        mesh=flat, num_diags=num_diags, lane_is_i=lane_is_i,
+        npw=params.num_pw, Wl_total=W, swap_pref=swap_pref)
+    bp_host = np.asarray(jax.device_get(bp))[:, 0, :]
+    aln = _traceback_bp(bp_host, V1, V2, lane_is_i, params.num_pw)
+    return aln, int(jax.device_get(score)[0])
 
 
 def sharded_gotoh_scores(seqs1, seqs2, params, mesh: Mesh) -> np.ndarray:

@@ -1,0 +1,59 @@
+"""The multi-host layer scheduler must reproduce the serial run exactly:
+final GFA, subalignment (-s) file, and subproblem checkpoint (-S) files."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_fasta(path, n_seqs, length=2500, seed=11):
+    rng = np.random.default_rng(seed)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, length))
+
+    def mut(s):
+        return "".join("ACGT"[rng.integers(0, 4)] if rng.random() < 0.02
+                       else c for c in s)
+    with open(path, "w") as f:
+        for i in range(n_seqs):
+            f.write(f">s{i}\n{mut(base)}\n")
+
+
+def _run(fa, out_dir, extra):
+    env = dict(os.environ, CENTROLIGN_TPU_USE_DEVICE="0")
+    r = subprocess.run(
+        [sys.executable, "-m", "centrolign_tpu.cli", "-v", "0",
+         "-s", str(out_dir / "sub.txt"), "-S", str(out_dir / "cp"),
+         *extra, str(fa)],
+        capture_output=True, text=True, timeout=500, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-800:]
+    return r.stdout
+
+
+@pytest.mark.parametrize("n_seqs", [3, 5])
+def test_distributed_matches_serial(tmp_path, n_seqs):
+    fa = tmp_path / "in.fa"
+    _make_fasta(fa, n_seqs)
+    ser_dir = tmp_path / "ser"
+    dist_dir = tmp_path / "dist"
+    ser_dir.mkdir()
+    dist_dir.mkdir()
+    out_ser = _run(fa, ser_dir, [])
+    out_dist = _run(fa, dist_dir, ["--hosts", "4"])
+    assert out_ser == out_dist, "stdout GFA differs"
+    assert ((ser_dir / "sub.txt").read_text()
+            == (dist_dir / "sub.txt").read_text()), "-s output differs"
+    ser_files = sorted(p.name for p in ser_dir.iterdir())
+    dist_files = sorted(p.name for p in dist_dir.iterdir())
+    assert ser_files == dist_files
+    for name in ser_files:
+        a = (ser_dir / name).read_text()
+        b = (dist_dir / name).read_text()
+        if name == "cp_info.txt":  # embeds the output directory path
+            a = a.replace(str(ser_dir), "")
+            b = b.replace(str(dist_dir), "")
+        assert a == b, f"-S file {name} differs"
