@@ -38,6 +38,88 @@ def _run_length(ops: np.ndarray) -> str:
     return "".join(f"{e - s}{chr(ops[s])}" for s, e in zip(starts, ends))
 
 
+def align_ond(seq1, seq2) -> np.ndarray:
+    """Myers O(ND) unit-cost edit alignment (reference alignment.hpp:262-634,
+    align_ond): matches are free, substitutions/insertions/deletions cost 1,
+    the total edit distance is minimized. Accepts any indexable sequences of
+    comparable elements; returns an (L, 2) pair array with GAP = -1.
+
+    Time O((n+m)·D), memory O(D²) for the traceback frontier stack — the
+    same regime the reference targets (near-identical sequences, small D).
+    Used by the sim_centromere tool's monomer annotation; the reference also
+    exposes it only as a test oracle / script helper."""
+    n, m = len(seq1), len(seq2)
+
+    def snake(a: int, k: int) -> int:
+        # extend free matches along diagonal k from anti-diagonal a
+        i = (a + k) // 2
+        j = (a - k) // 2
+        while i < n and j < m and seq1[i] == seq2[j]:
+            i += 1
+            j += 1
+        return i + j
+
+    frontiers = []
+    V = {0: snake(0, 0)}
+    frontiers.append(V)
+    k_final = n - m
+    a_final = n + m
+    d = 0
+    while V.get(k_final, -1) != a_final:
+        d += 1
+        nv = {}
+        for k, a in V.items():
+            # substitution (both advance), insertion (seq1), deletion (seq2)
+            for nk, na in ((k, a + 2), (k + 1, a + 1), (k - 1, a + 1)):
+                i = (na + nk) // 2
+                j = (na - nk) // 2
+                if 0 <= i <= n and 0 <= j <= m and na > nv.get(nk, -1):
+                    nv[nk] = na
+        V = {k: snake(a, k) for k, a in nv.items()}
+        frontiers.append(V)
+
+    # traceback: at (k, a) with d edits, find a predecessor whose op +
+    # snake reaches exactly a
+    pairs = []
+
+    def emit_snake(a_hi: int, a_lo: int, k: int) -> None:
+        i = (a_hi + k) // 2
+        j = (a_hi - k) // 2
+        while i + j > a_lo:
+            pairs.append((i - 1, j - 1))
+            i -= 1
+            j -= 1
+
+    k, a = k_final, a_final
+    for d in range(len(frontiers) - 1, 0, -1):
+        prev = frontiers[d - 1]
+        found = False
+        for pk, cost_adv, pair in ((k, 2, (0, 0)), (k - 1, 1, (1, GAP)),
+                                   (k + 1, 1, (GAP, 1))):
+            pa = prev.get(pk)
+            if pa is None:
+                continue
+            op_a = pa + cost_adv
+            if op_a > a or snake(op_a, k) < a:
+                continue
+            emit_snake(a, op_a, k)
+            i = (op_a + k) // 2
+            j = (op_a - k) // 2
+            if cost_adv == 2:
+                pairs.append((i - 1, j - 1))
+            elif pair[0] == 1:
+                pairs.append((i - 1, GAP))
+            else:
+                pairs.append((GAP, j - 1))
+            k, a = pk, pa
+            found = True
+            break
+        assert found, "O(ND) traceback failed"
+    emit_snake(a, 0, k)
+    pairs.reverse()
+    return np.array(pairs, dtype=_I64).reshape(-1, 2)
+
+
 def cigar(alignment: np.ndarray) -> str:
     """Run-length CIGAR with M/I/D ops (reference src/alignment.cpp:47)."""
     ops = np.where(

@@ -608,6 +608,22 @@ class Core:
             if self.subproblems_prefix and is_main_execution:
                 self.emit_subproblem(parent)
 
+    def align(self, matches, sub1: Subproblem, sub2: Subproblem, xm1, xm2,
+              is_main_execution: bool) -> np.ndarray:
+        """(reference core.hpp:182-254). Chain + partition + stitch with
+        already-computed matches and reachability."""
+        anchors = self.anchorer.anchor_chain(
+            matches, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
+            xm1, xm2)
+        segments = self.partitioner.partition_anchors(
+            anchors, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
+            xm1, xm2, not is_main_execution)
+        segments = [self.stitcher.despecify_indel_breakpoints(seg)
+                    for seg in segments]
+        return self.stitcher.stitch(
+            segments, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
+            xm1, xm2)
+
     # ------------------------------------------------------------------
 
     def emit_restart_bonds(self, bond_alignments) -> None:

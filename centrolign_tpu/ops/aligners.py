@@ -130,26 +130,70 @@ def greedy_partial_alignment(graph1, graph2, sources1, sources2,
                     sp1, sp2 = sp1[:-1], sp2[:-1]
 
     if not found:
+        # The reference's trim search answers its reachability queries
+        # through a SuperbubbleDistanceOracle after 8 unindexed probes
+        # (alignment.hpp:1430-1520). Equivalent near-O(1) queries here come
+        # from three linear DPs per graph: S[v] = latest fwd-walk index
+        # that strictly reaches v, srcR[v]/sinkR[v] = strictly
+        # reachable-from-source / reaches-sink. Decisions are identical to
+        # the shortest_path-existence tests (reachability is reachability).
+        oracles = []
+        for graph, fwd_col, rev_col, srcs, snks in (
+                (graph1, 0, 0, sources1, sinks1),
+                (graph2, 1, 1, sources2, sinks2)):
+            V = graph.node_size
+            order = topological_order(graph)
+            nptr, nind = graph.next_csr()
+            pptr, pind = graph.prev_csr()
+            idx_fwd = np.full(V, -1, dtype=_I64)
+            for i, pr in enumerate(aln_fwd):
+                idx_fwd[pr[fwd_col]] = i
+            is_src = np.zeros(V, dtype=bool)
+            is_src[np.asarray(list(srcs), dtype=_I64)] = True
+            is_snk = np.zeros(V, dtype=bool)
+            is_snk[np.asarray(list(snks), dtype=_I64)] = True
+            S = np.full(V, -1, dtype=_I64)
+            srcR = np.zeros(V, dtype=bool)
+            for v in order:
+                ps = pind[pptr[v]:pptr[v + 1]]
+                if len(ps):
+                    S[v] = max(int(S[ps].max()), int(idx_fwd[ps].max()))
+                    srcR[v] = bool(srcR[ps].any() or is_src[ps].any())
+            sinkR = np.zeros(V, dtype=bool)
+            for v in order[::-1]:
+                ns = nind[nptr[v]:nptr[v + 1]]
+                if len(ns):
+                    sinkR[v] = bool(sinkR[ns].any() or is_snk[ns].any())
+            oracles.append((S, srcR, sinkR, is_src, is_snk))
+
+        def _src_reach_eq(g, node):
+            S, srcR, sinkR, is_src, is_snk = oracles[g]
+            return bool(is_src[node] or srcR[node])
+
+        def _sink_reach_eq(g, node):
+            S, srcR, sinkR, is_src, is_snk = oracles[g]
+            return bool(is_snk[node] or sinkR[node])
+
+        both_boundary = all(
+            bool(o[3].any() and (o[4][o[3]].any() or o[1][o[4]].any()))
+            for o in oracles)
+
         def test_reachability(tl, tr):
-            allow_equal = False
+            if tl == len(aln_fwd) and tr == len(aln_rev):
+                return both_boundary
             if tl == len(aln_fwd):
-                left_ends = [(a, b) for a in sources1 for b in sources2]
-                allow_equal = True
-            else:
-                left_ends = [aln_fwd[len(aln_fwd) - 1 - tl]]
+                r1, r2 = aln_rev[tr]
+                return _src_reach_eq(0, r1) and _src_reach_eq(1, r2)
             if tr == len(aln_rev):
-                right_ends = [(a, b) for a in sinks1 for b in sinks2]
-                allow_equal = True
-            else:
-                right_ends = [aln_rev[tr]]
-            for (l1, l2) in left_ends:
-                for (r1, r2) in right_ends:
-                    if not allow_equal and (l1 == r1 or l2 == r2):
-                        continue
-                    if (len(shortest_path(graph1, [l1], [r1]))
-                            and len(shortest_path(graph2, [l2], [r2]))):
-                        return True
-            return False
+                l1, l2 = aln_fwd[len(aln_fwd) - 1 - tl]
+                return _sink_reach_eq(0, l1) and _sink_reach_eq(1, l2)
+            l1, l2 = aln_fwd[len(aln_fwd) - 1 - tl]
+            r1, r2 = aln_rev[tr]
+            if l1 == r1 or l2 == r2:
+                return False
+            li = len(aln_fwd) - 1 - tl
+            return (int(oracles[0][0][r1]) >= li
+                    and int(oracles[1][0][r2]) >= li)
 
         lo, hi = 1, len(aln_fwd) + len(aln_rev)
         while lo <= hi:

@@ -15,8 +15,39 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import subprocess
+
 import numpy as np
 import pytest
+
+
+def _ensure_refbuild() -> None:
+    """Build the reference binary + library into /tmp/refbuild so the
+    byte-parity half of the suite runs on a fresh machine instead of
+    silently skipping. Set CENTROLIGN_TPU_NO_REFBUILD=1 to opt out."""
+    if os.path.exists("/tmp/refbuild/centrolign"):
+        return
+    if (not os.path.isdir("/root/reference")
+            or os.environ.get("CENTROLIGN_TPU_NO_REFBUILD")):
+        return
+    os.makedirs("/tmp/refbuild", exist_ok=True)
+    try:
+        subprocess.run(
+            ["cmake", "/root/reference", "-DCMAKE_BUILD_TYPE=Release",
+             "-DSCRIPTS=ON", "-G", "Ninja"],
+            cwd="/tmp/refbuild", check=True, capture_output=True,
+            timeout=300)
+        subprocess.run(["ninja"], cwd="/tmp/refbuild", check=True,
+                       capture_output=True, timeout=1200)
+    except (subprocess.SubprocessError, OSError) as e:
+        print(f"reference bootstrap failed ({e}); parity tests will skip")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long end-to-end runs; quick tier = pytest -m 'not slow'")
+    _ensure_refbuild()
 
 
 @pytest.fixture
