@@ -118,6 +118,8 @@ class Anchorer:
             self.split_branching_matches(
                 matches, graph1, graph2, tableau1, tableau2, masked_matches)
         scale = 1.0
+        from .utils.memory import log_memory_usage
+        from . import logging as logmod
         if override_scale is not None:
             scale = override_scale
         elif (self.chaining_algorithm == ChainAlgorithm.SparseAffine
@@ -125,6 +127,8 @@ class Anchorer:
             scale = self.estimate_score_scale(
                 matches, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2,
                 masked_matches=masked_matches)
+            log_memory_usage(logmod.Debug)
+        log_memory_usage(logmod.Debug)
         return self._anchor_chain_global(
             matches, graph1, graph2, tableau1, tableau2, xmerge1, xmerge2,
             self.chaining_algorithm, scale, masked_matches)

@@ -154,6 +154,14 @@ def main(argv=None) -> int:
         root = core.root_subproblem()
         write_gfa(root.graph, root.tableau, sys.stdout)
 
+    from .utils.memory import max_memory_usage, format_memory_usage
+    max_mem = max_memory_usage()
+    if max_mem < 0:
+        logmod.log(logmod.Basic, "Failed to measure memory usage.")
+    else:
+        logmod.log(logmod.Basic,
+                   "Maximum memory usage: " + format_memory_usage(max_mem)
+                   + ".")
     logmod.log(logmod.Minimal, "Run completed successfully, exiting.")
     return 0
 

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import logging as logmod
+from .utils.memory import log_memory_usage
 from .anchorer import Anchorer, ChainAlgorithm
 from .alignment import fuse, internal_fuse, cigar as cigar_of
 from .bonder import Bonder
@@ -37,7 +38,8 @@ from .modify_graph import add_sentinels
 
 def pairwise_align_step(sub1, sub2, max_count, score_function, anchorer,
                         partitioner, stitcher, match_finder=None,
-                        is_main_execution=True) -> np.ndarray:
+                        is_main_execution=True,
+                        memory_restraint_size=1 << 30) -> np.ndarray:
     """One pairwise graph-graph alignment (the compute of one subproblem,
     reference core.hpp:256-403 minus the fuse): sentinel reassignment,
     match finding, reachability, chain/partition/stitch. Shared by the
@@ -53,8 +55,16 @@ def pairwise_align_step(sub1, sub2, max_count, score_function, anchorer,
         matches = match_finder.find_matches(
             sub1.graph, sub2.graph, sub1.tableau, sub2.tableau)
     logmod.log(logmod.Verbose, "Computing reachability.")
-    xm1 = PathMerge(sub1.graph, sub1.tableau)
-    xm2 = PathMerge(sub2.graph, sub2.tableau)
+    # memory tier selection (reference core.hpp:310-327, replicating its
+    # total-size expression): bit-packed tables above the restraint
+    from .path_merge import PackedPathMerge
+    total_size = (sub1.graph.node_size * sub1.graph.path_size
+                  + sub2.graph.node_size + sub2.graph.path_size)
+    merge_cls = (PackedPathMerge if total_size > memory_restraint_size
+                 else PathMerge)
+    xm1 = merge_cls(sub1.graph, sub1.tableau)
+    xm2 = merge_cls(sub2.graph, sub2.tableau)
+    log_memory_usage(logmod.Debug)
     anchors = anchorer.anchor_chain(
         matches, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
         xm1, xm2)
@@ -67,9 +77,14 @@ def pairwise_align_step(sub1, sub2, max_count, score_function, anchorer,
                "stitching.")
     segments = [stitcher.despecify_indel_breakpoints(seg)
                 for seg in segments]
-    return stitcher.stitch(
+    aln = stitcher.stitch(
         segments, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
         xm1, xm2)
+    if merge_cls is PackedPathMerge:
+        xm1.release()
+        xm2.release()
+    log_memory_usage(logmod.Debug)
+    return aln
 
 
 def fuse_step(sub1, sub2, alignment, preserve=False):
@@ -164,6 +179,7 @@ class Core:
                    if not self.cyclize_tandem_duplications else
                    "Calibrating scale of anchoring parameters and "
                    "identifying tandem duplications.")
+        log_memory_usage(logmod.Debug)
         scales = []
         bond_alns = []
         match_query_memo = []
@@ -178,6 +194,7 @@ class Core:
                        f"Computed intrinsic scale of {scale} for sequence {sub.name}")
             if self.cyclize_tandem_duplications:
                 match_query_memo.append((matches, chain_out))
+            log_memory_usage(logmod.Debug)
         if not self.skip_calibration and scales:
             self.score_function.score_scale = float(np.mean(scales))
 
@@ -595,7 +612,8 @@ class Core:
                 sub1, sub2, self.max_count, self.score_function,
                 self.anchorer, self.partitioner, self.stitcher,
                 match_finder=match_finder,
-                is_main_execution=is_main_execution)
+                is_main_execution=is_main_execution,
+                memory_restraint_size=self.memory_restraint_size)
             if self.subalignments_filepath and is_main_execution:
                 self.emit_subalignment(parent, sub1, sub2)
             parent.graph, parent.tableau = fuse_step(
@@ -607,6 +625,7 @@ class Core:
                 sub2.graph = None
             if self.subproblems_prefix and is_main_execution:
                 self.emit_subproblem(parent)
+            log_memory_usage(logmod.Verbose)
 
     def align(self, matches, sub1: Subproblem, sub2: Subproblem, xm1, xm2,
               is_main_execution: bool) -> np.ndarray:
@@ -747,21 +766,33 @@ class Core:
         from .induced import induced_cyclic_pairwise_alignment, output_maf
         root = self.root_subproblem()
         g = root.graph
-        for i in range(g.path_size):
-            for j in range(i + 1, g.path_size):
-                n1 = g.path_name(i).replace("/", "_")
-                n2 = g.path_name(j).replace("/", "_")
-                ext = ".maf" if cyclic else ".txt"
-                name = f"{self.induced_pairwise_prefix}_{n1}_{n2}{ext}"
-                with open(name, "w") as f:
-                    if cyclic:
-                        output_maf(f, induced_cyclic_pairwise_alignment(
-                            g, i, j), g, i, j)
-                    else:
-                        aln = induced_pairwise_alignment(g, i, j)
-                        lab1 = g.labels[g.path(i)]
-                        lab2 = g.labels[g.path(j)]
-                        f.write(explicit_cigar(aln, lab1, lab2) + "\n")
+
+        def write_one(i, j):
+            n1 = g.path_name(i).replace("/", "_")
+            n2 = g.path_name(j).replace("/", "_")
+            ext = ".maf" if cyclic else ".txt"
+            name = f"{self.induced_pairwise_prefix}_{n1}_{n2}{ext}"
+            with open(name, "w") as f:
+                if cyclic:
+                    output_maf(f, induced_cyclic_pairwise_alignment(
+                        g, i, j), g, i, j)
+                else:
+                    aln = induced_pairwise_alignment(g, i, j)
+                    lab1 = g.labels[g.path(i)]
+                    lab2 = g.labels[g.path(j)]
+                    f.write(explicit_cigar(aln, lab1, lab2) + "\n")
+
+        pairs = [(i, j) for i in range(g.path_size)
+                 for j in range(i + 1, g.path_size)]
+        if self.threads > 1 and len(pairs) > 1:
+            # the one place the reference uses threads: writing the induced
+            # pairwise alignment files (reference src/core.cpp:554-591)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.threads) as pool:
+                list(pool.map(lambda p: write_one(*p), pairs))
+        else:
+            for i, j in pairs:
+                write_one(i, j)
 
     # ------------------------------------------------------------------
 

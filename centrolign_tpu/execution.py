@@ -69,6 +69,8 @@ class Execution:
         self.execution_order = [
             t for t in tree.small_first_postorder() if not tree.is_leaf(t)]
         self.next_subproblem = 0
+        from .utils.memory import log_memory_usage
+        log_memory_usage(logmod.Debug)
 
     def finished(self) -> bool:
         return self.next_subproblem >= len(self.execution_order)

@@ -127,7 +127,7 @@ def get_lib() -> ctypes.CDLL:
     lib.extract_connecting_native.argtypes = [
         ctypes.c_int64, I64P, I64P, U8P,
         ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, I64P, I64P, I64P,
+        ctypes.c_int64, I64P, I64P, I64P, ctypes.c_int,
         I64P, I64P, ctypes.c_int64,
         U8P, I64P, I64P, I64P, I64P, I64P, I64P]
     lib.chain_sparse_parity.restype = ctypes.c_int64
@@ -139,7 +139,7 @@ def get_lib() -> ctypes.CDLL:
         [ctypes.c_int64] + [I64P] * 5 +
         [ctypes.c_int64, I64P, ctypes.c_int64, I64P,
          ctypes.c_int64, I64P, ctypes.c_int64, I64P,
-         ctypes.c_int64, I64P,
+         ctypes.c_int64, I64P, ctypes.c_int,
          ctypes.c_int64, I64P, ctypes.c_void_p])
     DP = ctypes.c_void_p
     lib.bonder_dev_constrained_partition.restype = ctypes.c_int64
@@ -171,7 +171,7 @@ def get_lib() -> ctypes.CDLL:
     lib.path_merge_build.argtypes = (
         [ctypes.c_int64] + [I64P] * 4 +
         [ctypes.c_int64, I64P, I64P, ctypes.c_int64, ctypes.c_int64] +
-        [I64P] * 3)
+        [I64P] * 3 + [ctypes.c_int])
     lib.chain_affine_parity.restype = ctypes.c_int64
     lib.chain_affine_parity.argtypes = (
         [ctypes.c_int64] + [I64P] * 4 +
@@ -182,7 +182,7 @@ def get_lib() -> ctypes.CDLL:
         [DP, DP, ctypes.c_double,
          ctypes.c_int64, I64P, ctypes.c_int64, I64P,
          ctypes.c_int64, I64P, ctypes.c_int64, I64P,
-         ctypes.c_int64, I64P, ctypes.c_int32,
+         ctypes.c_int64, I64P, ctypes.c_int32, ctypes.c_int,
          ctypes.c_int64, I64P, DP])
     _wfa_common = [
         ctypes.c_int64, U8P, I64P, I64P, I64P, I64P,
@@ -201,8 +201,9 @@ def get_lib() -> ctypes.CDLL:
         [ctypes.c_int64] + [I64P] * 4 + [ctypes.c_int64] + [I64P] * 4 +
         # paths
         [ctypes.c_int64, I64P, I64P, ctypes.c_int64, I64P, I64P] +
-        # xmerge views
+        # xmerge views + table width
         [ctypes.c_int64] + [I64P] * 3 + [ctypes.c_int64] + [I64P] * 3 +
+        [ctypes.c_int] +
         # matches
         [ctypes.c_int64] + [I64P] * 10 +
         # top chain
@@ -218,7 +219,7 @@ def get_lib() -> ctypes.CDLL:
     lib.chain_fill_length_native.argtypes = (
         [ctypes.c_int64, I64P, I64P, ctypes.c_int64] + [I64P] * 3 +
         [ctypes.c_int64, I64P, I64P, ctypes.c_int64] + [I64P] * 3 +
-        [ctypes.c_int64, I64P])
+        [ctypes.c_int, ctypes.c_int64, I64P])
     _lib = lib
     return lib
 
@@ -348,6 +349,19 @@ def _ptr_u8(a):
     return a.ctypes.data_as(ctypes.c_void_p)
 
 
+def _pair_width(t1, io1, t2, io2):
+    """Common table width for a two-graph native call. Tables are int32
+    below 2^31 nodes (the reference's uint32 tier) and int64 beyond; a
+    mixed pair is upcast to int64."""
+    if t1.dtype == np.int32 and t2.dtype == np.int32:
+        return 4, t1, io1, t2, io2
+    return (8,
+            np.ascontiguousarray(t1, dtype=np.int64),
+            np.ascontiguousarray(io1, dtype=np.int64),
+            np.ascontiguousarray(t2, dtype=np.int64),
+            np.ascontiguousarray(io2, dtype=np.int64))
+
+
 def _csr64(pair):
     ptr, ind = pair
     return (np.ascontiguousarray(ptr, dtype=np.int64),
@@ -423,9 +437,10 @@ class ExtractionContext:
         self.nptr = np.ascontiguousarray(nptr, dtype=np.int64)
         self.nind = np.ascontiguousarray(nind, dtype=np.int64)
         self.labels = np.ascontiguousarray(graph.labels, dtype=np.uint8)
-        self.table = np.ascontiguousarray(xmerge.table, dtype=np.int64)
+        self.table = np.ascontiguousarray(xmerge.table)
         self.path_head = np.ascontiguousarray(xmerge.path_head, dtype=np.int64)
-        self.index_on = np.ascontiguousarray(xmerge.index_on, dtype=np.int64)
+        self.index_on = np.ascontiguousarray(xmerge.index_on)
+        self.width = 4 if self.table.dtype == np.int32 else 8
         self.C = self.table.shape[1]
         V, E = self.V, len(self.nind)
         self.fwd = np.zeros(V, dtype=np.int64)
@@ -446,6 +461,7 @@ class ExtractionContext:
                           _ptr_u8(self.labels))
         self._args_mid = (self.C, _ptr_i64(self.table),
                           _ptr_i64(self.path_head), _ptr_i64(self.index_on),
+                          self.width,
                           _ptr_i64(self.fwd), _ptr_i64(self.epoch))
         self._args_out = (_ptr_u8(self.out_labels), _ptr_i64(self.out_back),
                           _ptr_i64(self.out_ef), _ptr_i64(self.out_et),
@@ -596,6 +612,7 @@ def chain_sparse_parity(graph1, matches, num_sets, weights, xm1, xm2,
     out_rows = np.empty((cap, 5), dtype=np.int64)
     out_f = np.empty((cap, 3), dtype=np.float64)
     V2 = len(ci2)
+    width, t1, io1, t2, io2 = _pair_width(t1, io1, t2, io2)
     nout = lib.chain_sparse_parity(
         graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
         _ptr_i64(p1ptr), _ptr_i64(p1ind), V2,
@@ -609,7 +626,7 @@ def chain_sparse_parity(graph1, matches, num_sets, weights, xm1, xm2,
         _ptr_i64(co2), _ptr_i64(cn2),
         ns1, _ptr_i64(s1), ns2, _ptr_i64(s2),
         nk1, _ptr_i64(k1), nk2, _ptr_i64(k2),
-        len(mrows), _ptr_i64(np.ascontiguousarray(mrows)),
+        len(mrows), _ptr_i64(np.ascontiguousarray(mrows)), width,
         cap, _ptr_i64(out_rows), _ptr_f64(out_f))
     return out_rows[:nout, :3].copy(), out_f[:nout, 0].copy()
 
@@ -653,6 +670,7 @@ def chain_affine_parity(graph1, graph2, matches, num_sets, weights, xm1, xm2,
     cap = int(sum(set_n1[:num_sets] * set_n2[:num_sets])) + 1
     out_rows = np.empty((cap, 5), dtype=np.int64)
     out_f = np.empty((cap, 3), dtype=np.float64)
+    width, t1, io1, t2, io2 = _pair_width(t1, io1, t2, io2)
     nout = lib.chain_affine_parity(
         graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
         _ptr_i64(p1ptr), _ptr_i64(p1ind),
@@ -670,7 +688,7 @@ def chain_affine_parity(graph1, graph2, matches, num_sets, weights, xm1, xm2,
         ns1, _ptr_i64(s1), ns2, _ptr_i64(s2),
         nk1, _ptr_i64(k1), nk2, _ptr_i64(k2),
         len(mrows), _ptr_i64(np.ascontiguousarray(mrows)),
-        1 if use_small else 0,
+        1 if use_small else 0, width,
         cap, _ptr_i64(out_rows), _ptr_f64(out_f))
     return out_rows[:nout].copy(), out_f[:nout].copy()
 
@@ -703,6 +721,7 @@ def anchor_fill_in(graph1, graph2, tableau1, tableau2, xm1, xm2, matches,
     P2, poff2, pnodes2 = _paths_args(graph2)
     t1, io1, ci1, _co1, _cn1 = xmerge_view_arrays(xm1)
     t2, io2, ci2, _co2, _cn2 = xmerge_view_arrays(xm2)
+    width, t1, io1, t2, io2 = _pair_width(t1, io1, t2, io2)
     zero_w = np.zeros(len(matches))
     (set_n1, set_n2, set_L, set_c1, set_c2, set_fl, _w,
      w1_off, w1, w2_off, w2) = _flatten_match_sets(matches, len(matches),
@@ -733,6 +752,7 @@ def anchor_fill_in(graph1, graph2, tableau1, tableau2, xm1, xm2, matches,
             P2, _ptr_i64(poff2), _ptr_i64(pnodes2),
             t1.shape[1], _ptr_i64(t1), _ptr_i64(io1), _ptr_i64(ci1),
             t2.shape[1], _ptr_i64(t2), _ptr_i64(io2), _ptr_i64(ci2),
+            width,
             len(matches), _ptr_i64(set_n1), _ptr_i64(set_n2), _ptr_i64(set_L),
             _ptr_i64(set_c1), _ptr_i64(set_c2), _ptr_i64(set_fl),
             _ptr_i64(w1_off), _ptr_i64(w1), _ptr_i64(w2_off), _ptr_i64(w2),
@@ -760,13 +780,14 @@ def chain_fill_length(graph1, graph2, xm1, xm2, endpoints):
     n2ptr, n2ind = _csr64(graph2.next_csr())
     t1, io1, ci1, _co1, _cn1 = xmerge_view_arrays(xm1)
     t2, io2, ci2, _co2, _cn2 = xmerge_view_arrays(xm2)
+    width, t1, io1, t2, io2 = _pair_width(t1, io1, t2, io2)
     endpoints = np.ascontiguousarray(endpoints, dtype=np.int64)
     return int(lib.chain_fill_length_native(
         graph1.node_size, _ptr_i64(n1ptr), _ptr_i64(n1ind),
         t1.shape[1], _ptr_i64(t1), _ptr_i64(io1), _ptr_i64(ci1),
         graph2.node_size, _ptr_i64(n2ptr), _ptr_i64(n2ind),
         t2.shape[1], _ptr_i64(t2), _ptr_i64(io2), _ptr_i64(ci2),
-        len(endpoints), _ptr_i64(endpoints)))
+        width, len(endpoints), _ptr_i64(endpoints)))
 
 
 def path_merge_build(graph, tableau=None):
@@ -783,15 +804,19 @@ def path_merge_build(graph, tableau=None):
     np.cumsum([len(x) for x in paths], out=off[1:])
     nodes = (np.concatenate(paths).astype(np.int64) if paths
              else np.empty(0, dtype=np.int64))
-    index_on = np.full((C, V), -1, dtype=np.int64)
+    # width dispatch (reference core.hpp:296-357 uint32 tier): int32
+    # tables below 2^31 nodes halve the dominant (V x C) memory
+    tdt = np.int32 if V < 2**31 - 1 else np.int64
+    index_on = np.full((C, V), -1, dtype=tdt)
     path_head = np.full(V, -1, dtype=np.int64)
-    table = np.full((V, C), -1, dtype=np.int64)
+    table = np.full((V, C), -1, dtype=tdt)
     lib.path_merge_build(
         V, _ptr_i64(nptr), _ptr_i64(nind), _ptr_i64(pptr), _ptr_i64(pind),
         P, _ptr_i64(off), _ptr_i64(nodes),
         tableau.src_id if tableau is not None else -1,
         tableau.snk_id if tableau is not None else -1,
-        _ptr_i64(index_on), _ptr_i64(path_head), _ptr_i64(table))
+        _ptr_i64(index_on), _ptr_i64(path_head), _ptr_i64(table),
+        4 if tdt is np.int32 else 8)
     return index_on, path_head, table
 
 

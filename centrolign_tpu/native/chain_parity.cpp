@@ -67,11 +67,15 @@ static std::vector<i64> ref_topo_order(const CsrGraph& g) {
 
 // ------------------------------------------------------------------ xmerge
 
-// unified PathMerge/ChainMerge view over caller-provided arrays
+// unified PathMerge/ChainMerge view over caller-provided arrays.
+// TI is the storage width of the big (V x C) tables — int32 below 2^31
+// nodes (the reference's uint32 tier, core.hpp:296-357), int64 beyond;
+// accessors promote to i64 so the engines are width-agnostic.
+template <typename TI>
 struct XMergeView {
     i64 V, C;
-    const i64* table;      // (V, C) last-to-reach index, -1 = none
-    const i64* index_on_;  // (C, V) index of node on chain, -1 = not on it
+    const TI* table;      // (V, C) last-to-reach index, -1 = none
+    const TI* index_on_;  // (C, V) index of node on chain, -1 = not on it
     const i64* chain_id;   // (V,) primary chain (PathMerge: path_head)
     const i64* chain_off;  // (C+1,) offsets into chain_nodes
     const i64* chain_nodes;
@@ -937,8 +941,9 @@ struct MultiOrthoTreeP {
 
 // reference forward_edges.hpp:36-70 + generate_forward_edge_masks
 // (anchorer.hpp:1752-1810)
+template <typename TI>
 static std::vector<std::vector<std::pair<i64, i64>>> build_forward_edges(
-        const CsrGraph& g1, const XMergeView& xm1,
+        const CsrGraph& g1, const XMergeView<TI>& xm1,
         const std::vector<MatchSetView>& sets, i64 num_sets) {
     std::vector<bool> have_start(g1.V, false), follow_end(g1.V, false);
     for (i64 s = 0; s < num_sets; ++s) {
@@ -991,14 +996,13 @@ struct ChainOut {
 
 }  // namespace
 
-extern "C" {
-
 // Shared argument pack builder helpers live in Python; these entry points
 // take fully flattened arrays.
 
 // Sparse (free-gap) chaining, reference sparse_chain_dp.
 // Returns chain length; rows get (set, idx1, idx2, 0, 0).
-i64 chain_sparse_parity(
+template <typename TI>
+static i64 sparse_parity_impl(
         // graph1
         i64 V1, const i64* n1ptr, const i64* n1ind, const i64* p1ptr,
         const i64* p1ind, i64 V2,
@@ -1009,9 +1013,9 @@ i64 chain_sparse_parity(
         const i64* walks1_off, const i64* walks1_flat,
         const i64* walks2_off, const i64* walks2_flat,
         // xmerge views
-        i64 C1, const i64* table1, const i64* index_on1, const i64* chainid1,
+        i64 C1, const TI* table1, const TI* index_on1, const i64* chainid1,
         const i64* choff1, const i64* chnodes1,
-        i64 C2, const i64* table2, const i64* index_on2, const i64* chainid2,
+        i64 C2, const TI* table2, const TI* index_on2, const i64* chainid2,
         const i64* choff2, const i64* chnodes2,
         // sources/sinks (global anchoring); n<0 means null
         i64 ns1, const i64* sources1, i64 ns2, const i64* sources2,
@@ -1020,8 +1024,8 @@ i64 chain_sparse_parity(
         i64 n_masked, const i64* masked_rows,
         i64 out_cap, i64* out_rows, double* out_fvals) {
     CsrGraph g1{V1, n1ptr, n1ind, p1ptr, p1ind};
-    XMergeView xm1{V1, C1, table1, index_on1, chainid1, choff1, chnodes1};
-    XMergeView xm2{V2, C2, table2, index_on2, chainid2, choff2, chnodes2};
+    XMergeView<TI> xm1{V1, C1, table1, index_on1, chainid1, choff1, chnodes1};
+    XMergeView<TI> xm2{V2, C2, table2, index_on2, chainid2, choff2, chnodes2};
 
     std::vector<MatchSetView> sets(num_sets_total);
     for (i64 s = 0; s < num_sets_total; ++s) {
@@ -1155,6 +1159,53 @@ i64 chain_sparse_parity(
     return (i64)rev.size();
 }
 
+extern "C" {
+
+// width-dispatched entry: table_width selects the (V x C) table storage
+// (4 = int32, 8 = int64); all other arrays are int64
+i64 chain_sparse_parity(
+        i64 V1, const i64* n1ptr, const i64* n1ind, const i64* p1ptr,
+        const i64* p1ind, i64 V2,
+        i64 num_sets_total, i64 num_sets, const i64* set_n1, const i64* set_n2,
+        const i64* set_L, const i64* set_count1, const i64* set_count2,
+        const i64* set_full_length, const double* set_weight,
+        const i64* walks1_off, const i64* walks1_flat,
+        const i64* walks2_off, const i64* walks2_flat,
+        i64 C1, const void* table1, const void* index_on1, const i64* chainid1,
+        const i64* choff1, const i64* chnodes1,
+        i64 C2, const void* table2, const void* index_on2, const i64* chainid2,
+        const i64* choff2, const i64* chnodes2,
+        i64 ns1, const i64* sources1, i64 ns2, const i64* sources2,
+        i64 nk1, const i64* sinks1, i64 nk2, const i64* sinks2,
+        i64 n_masked, const i64* masked_rows,
+        int table_width,
+        i64 out_cap, i64* out_rows, double* out_fvals) {
+    if (table_width == 4) {
+        return sparse_parity_impl<int32_t>(
+            V1, n1ptr, n1ind, p1ptr, p1ind, V2,
+            num_sets_total, num_sets, set_n1, set_n2, set_L, set_count1,
+            set_count2, set_full_length, set_weight, walks1_off, walks1_flat,
+            walks2_off, walks2_flat,
+            C1, (const int32_t*)table1, (const int32_t*)index_on1, chainid1,
+            choff1, chnodes1,
+            C2, (const int32_t*)table2, (const int32_t*)index_on2, chainid2,
+            choff2, chnodes2,
+            ns1, sources1, ns2, sources2, nk1, sinks1, nk2, sinks2,
+            n_masked, masked_rows, out_cap, out_rows, out_fvals);
+    }
+    return sparse_parity_impl<i64>(
+        V1, n1ptr, n1ind, p1ptr, p1ind, V2,
+        num_sets_total, num_sets, set_n1, set_n2, set_L, set_count1,
+        set_count2, set_full_length, set_weight, walks1_off, walks1_flat,
+        walks2_off, walks2_flat,
+        C1, (const i64*)table1, (const i64*)index_on1, chainid1,
+        choff1, chnodes1,
+        C2, (const i64*)table2, (const i64*)index_on2, chainid2,
+        choff2, chnodes2,
+        ns1, sources1, ns2, sources2, nk1, sinks1, nk2, sinks2,
+        n_masked, masked_rows, out_cap, out_rows, out_fvals);
+}
+
 }  // extern "C"
 
 namespace {
@@ -1162,8 +1213,9 @@ namespace {
 // post-switch D arrays (reference post_switch_distances.hpp:16-76):
 // stored value 0 = no distance; otherwise distance + offsets per the
 // reference DP (value 1 when switching immediately)
+template <typename TI>
 static std::vector<std::vector<i64>> build_psd(const CsrGraph& g,
-                                               const XMergeView& xm) {
+                                               const XMergeView<TI>& xm) {
     std::vector<std::vector<i64>> dist(xm.C, std::vector<i64>(g.V, 0));
     for (i64 node_id : ref_topo_order(g)) {
         for (i64 p = 0; p < xm.C; ++p) {
@@ -1192,13 +1244,13 @@ static inline u64 psd_distance(const std::vector<std::vector<i64>>& d,
     return v == 0 ? ~u64(0) : u64(v);
 }
 
-template <typename IntShiftT>
+template <typename IntShiftT, typename TI>
 struct AffineEngine {
     static constexpr int NumPW = 3;
 
     const CsrGraph& g1;
-    const XMergeView& xm1;
-    const XMergeView& xm2;
+    const XMergeView<TI>& xm1;
+    const XMergeView<TI>& xm2;
     const std::vector<std::vector<i64>>& psd1;
     const std::vector<std::vector<i64>>& psd2;
     const double* gap_open;
@@ -1296,10 +1348,10 @@ struct AffineEngine {
 namespace {
 
 // full affine DP (reference sparse_affine_chain_dp, anchorer.hpp:1812-2470)
-template <typename IntShiftT>
+template <typename IntShiftT, typename TI>
 static i64 affine_impl(
         const CsrGraph& g1, const CsrGraph& g2,
-        const XMergeView& xm1, const XMergeView& xm2,
+        const XMergeView<TI>& xm1, const XMergeView<TI>& xm2,
         const std::vector<MatchSetView>& sets, i64 num_sets,
         const std::unordered_set<u64>* masked,
         const double* gap_open, const double* gap_extend, double local_scale,
@@ -1320,8 +1372,8 @@ static i64 affine_impl(
 
     auto psd1 = build_psd(g1, xm1);
     auto psd2 = build_psd(g2, xm2);
-    AffineEngine<IntShiftT> eng{g1, xm1, xm2, psd1, psd2,
-                                gap_open, gap_extend, local_scale};
+    AffineEngine<IntShiftT, TI> eng{g1, xm1, xm2, psd1, psd2,
+                                    gap_open, gap_extend, local_scale};
 
     lap("psd");
     MatchBankP bank(g1.V, sets, num_sets, masked);
@@ -1669,7 +1721,8 @@ static i64 affine_impl(
 extern "C" {
 
 // SparseAffine chaining with reference-exact semantics. use_small selects
-// the int32 shift width (the reference's Small instantiation conditions).
+// the int32 shift width (the reference's Small instantiation conditions);
+// table_width (4|8) selects the (V x C) reachability-table storage.
 i64 chain_affine_parity(
         i64 V1, const i64* n1ptr, const i64* n1ind, const i64* p1ptr,
         const i64* p1ind,
@@ -1680,19 +1733,17 @@ i64 chain_affine_parity(
         const i64* set_full_length, const double* set_weight,
         const i64* walks1_off, const i64* walks1_flat,
         const i64* walks2_off, const i64* walks2_flat,
-        i64 C1, const i64* table1, const i64* index_on1, const i64* chainid1,
+        i64 C1, const void* table1, const void* index_on1, const i64* chainid1,
         const i64* choff1, const i64* chnodes1,
-        i64 C2, const i64* table2, const i64* index_on2, const i64* chainid2,
+        i64 C2, const void* table2, const void* index_on2, const i64* chainid2,
         const i64* choff2, const i64* chnodes2,
         const double* gap_open, const double* gap_extend, double local_scale,
         i64 ns1, const i64* sources1, i64 ns2, const i64* sources2,
         i64 nk1, const i64* sinks1, i64 nk2, const i64* sinks2,
-        i64 n_masked, const i64* masked_rows, int use_small,
+        i64 n_masked, const i64* masked_rows, int use_small, int table_width,
         i64 out_cap, i64* out_rows, double* out_fvals) {
     CsrGraph g1{V1, n1ptr, n1ind, p1ptr, p1ind};
     CsrGraph g2{V2, n2ptr, n2ind, p2ptr, p2ind};
-    XMergeView xm1{V1, C1, table1, index_on1, chainid1, choff1, chnodes1};
-    XMergeView xm2{V2, C2, table2, index_on2, chainid2, choff2, chnodes2};
 
     std::vector<MatchSetView> sets(num_sets_total);
     for (i64 s = 0; s < num_sets_total; ++s) {
@@ -1709,17 +1760,42 @@ i64 chain_affine_parity(
     }
     const std::unordered_set<u64>* mp = n_masked ? &masked : nullptr;
 
-    i64 n = use_small
-        ? affine_impl<int32_t>(g1, g2, xm1, xm2, sets, num_sets, mp,
-                               gap_open, gap_extend, local_scale,
-                               ns1, sources1, ns2, sources2,
-                               nk1, sinks1, nk2, sinks2,
-                               out_cap, out_rows, out_fvals)
-        : affine_impl<int64_t>(g1, g2, xm1, xm2, sets, num_sets, mp,
-                               gap_open, gap_extend, local_scale,
-                               ns1, sources1, ns2, sources2,
-                               nk1, sinks1, nk2, sinks2,
-                               out_cap, out_rows, out_fvals);
+    i64 n;
+    if (table_width == 4) {
+        XMergeView<int32_t> xm1{V1, C1, (const int32_t*)table1,
+                                (const int32_t*)index_on1, chainid1, choff1,
+                                chnodes1};
+        XMergeView<int32_t> xm2{V2, C2, (const int32_t*)table2,
+                                (const int32_t*)index_on2, chainid2, choff2,
+                                chnodes2};
+        n = use_small
+            ? affine_impl<int32_t, int32_t>(
+                  g1, g2, xm1, xm2, sets, num_sets, mp,
+                  gap_open, gap_extend, local_scale,
+                  ns1, sources1, ns2, sources2, nk1, sinks1, nk2, sinks2,
+                  out_cap, out_rows, out_fvals)
+            : affine_impl<int64_t, int32_t>(
+                  g1, g2, xm1, xm2, sets, num_sets, mp,
+                  gap_open, gap_extend, local_scale,
+                  ns1, sources1, ns2, sources2, nk1, sinks1, nk2, sinks2,
+                  out_cap, out_rows, out_fvals);
+    } else {
+        XMergeView<i64> xm1{V1, C1, (const i64*)table1, (const i64*)index_on1,
+                            chainid1, choff1, chnodes1};
+        XMergeView<i64> xm2{V2, C2, (const i64*)table2, (const i64*)index_on2,
+                            chainid2, choff2, chnodes2};
+        n = use_small
+            ? affine_impl<int32_t, i64>(
+                  g1, g2, xm1, xm2, sets, num_sets, mp,
+                  gap_open, gap_extend, local_scale,
+                  ns1, sources1, ns2, sources2, nk1, sinks1, nk2, sinks2,
+                  out_cap, out_rows, out_fvals)
+            : affine_impl<int64_t, i64>(
+                  g1, g2, xm1, xm2, sets, num_sets, mp,
+                  gap_open, gap_extend, local_scale,
+                  ns1, sources1, ns2, sources2, nk1, sinks1, nk2, sinks2,
+                  out_cap, out_rows, out_fvals);
+    }
     // annotate_scores: double anchor weight per row
     for (i64 t = 0; t < std::min(n, out_cap); ++t) {
         out_fvals[3 * t] = set_weight[out_rows[5 * t]];
@@ -1729,19 +1805,18 @@ i64 chain_affine_parity(
 
 }  // extern "C"
 
-extern "C" {
-
 // PathMerge table construction (reference path_merge.hpp:96-165): index_on,
 // path_head, and the last-to-reach table over the given paths (+ optional
 // sentinel pseudo-path).
-void path_merge_build(
+template <typename TI>
+static void path_merge_build_impl(
         i64 V, const i64* nptr, const i64* nind, const i64* pptr,
         const i64* pind,
         i64 P, const i64* path_off, const i64* path_nodes,
         i64 src_id, i64 snk_id,  // -1 -> no tableau
-        i64* index_on,  // (C, V) out, pre-filled -1
+        TI* index_on,  // (C, V) out, pre-filled -1
         i64* path_head,  // (V,) out, pre-filled -1
-        i64* table) {    // (V, C) out, pre-filled -1
+        TI* table) {    // (V, C) out, pre-filled -1
     i64 C = P + (src_id >= 0 ? 1 : 0);
     for (i64 p = 0; p < P; ++p) {
         i64 index = 0;
@@ -1757,9 +1832,9 @@ void path_merge_build(
     }
     CsrGraph g{V, nptr, nind, pptr, pind};
     for (i64 v : ref_topo_order(g)) {
-        i64* row = table + v * C;
+        TI* row = table + v * C;
         for (i64 e = pptr[v]; e < pptr[v + 1]; ++e) {
-            const i64* prow = table + pind[e] * C;
+            const TI* prow = table + pind[e] * C;
             for (i64 p = 0; p < P; ++p) {
                 if (row[p] < prow[p]) row[p] = prow[p];
             }
@@ -1773,6 +1848,25 @@ void path_merge_build(
         for (i64 v = 0; v < V; ++v) {
             if (v != src_id) table[v * C + P] = 0;
         }
+    }
+}
+
+extern "C" {
+
+void path_merge_build(
+        i64 V, const i64* nptr, const i64* nind, const i64* pptr,
+        const i64* pind,
+        i64 P, const i64* path_off, const i64* path_nodes,
+        i64 src_id, i64 snk_id,
+        void* index_on, i64* path_head, void* table, int table_width) {
+    if (table_width == 4) {
+        path_merge_build_impl<int32_t>(
+            V, nptr, nind, pptr, pind, P, path_off, path_nodes,
+            src_id, snk_id, (int32_t*)index_on, path_head, (int32_t*)table);
+    } else {
+        path_merge_build_impl<i64>(
+            V, nptr, nind, pptr, pind, P, path_off, path_nodes,
+            src_id, snk_id, (i64*)index_on, path_head, (i64*)table);
     }
 }
 

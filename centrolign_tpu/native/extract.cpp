@@ -11,17 +11,16 @@ namespace {
 using i64 = int64_t;
 }
 
-extern "C" {
-
 // Scratch arrays `fwd` and `epoch` are caller-owned (size V) and reused
 // across calls: valid iff epoch[v] == cur_epoch. counts out:
-// [n_nodes, n_edges, n_sources, n_sinks].
-void extract_connecting_native(
+// [n_nodes, n_edges, n_sources, n_sinks]. TI = reachability-table width.
+template <typename TI>
+static void extract_connecting_impl(
         i64 V, const i64* nptr, const i64* nind, const uint8_t* labels,
         i64 from_id, i64 to_id,
-        i64 C, const i64* table,      // (V, C) row-major
+        i64 C, const TI* table,      // (V, C) row-major
         const i64* path_head,          // (V,)
-        const i64* index_on,           // (C, V) row-major
+        const TI* index_on,           // (C, V) row-major
         i64* fwd, i64* epoch, i64 cur_epoch,
         uint8_t* out_labels, i64* out_back,
         i64* out_ef, i64* out_et,
@@ -72,6 +71,33 @@ void extract_connecting_native(
     counts[1] = n_edges;
     counts[2] = n_src;
     counts[3] = n_snk;
+}
+
+extern "C" {
+
+void extract_connecting_native(
+        i64 V, const i64* nptr, const i64* nind, const uint8_t* labels,
+        i64 from_id, i64 to_id,
+        i64 C, const void* table, const i64* path_head, const void* index_on,
+        int table_width,
+        i64* fwd, i64* epoch, i64 cur_epoch,
+        uint8_t* out_labels, i64* out_back,
+        i64* out_ef, i64* out_et,
+        i64* out_sources, i64* out_sinks,
+        i64* counts) {
+    if (table_width == 4) {
+        extract_connecting_impl<int32_t>(
+            V, nptr, nind, labels, from_id, to_id, C,
+            (const int32_t*)table, path_head, (const int32_t*)index_on,
+            fwd, epoch, cur_epoch, out_labels, out_back, out_ef, out_et,
+            out_sources, out_sinks, counts);
+    } else {
+        extract_connecting_impl<i64>(
+            V, nptr, nind, labels, from_id, to_id, C,
+            (const i64*)table, path_head, (const i64*)index_on,
+            fwd, epoch, cur_epoch, out_labels, out_back, out_ef, out_et,
+            out_sources, out_sinks, counts);
+    }
 }
 
 }  // extern "C"

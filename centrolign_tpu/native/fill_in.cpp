@@ -48,13 +48,14 @@ i64 chain_sparse_parity(
     const i64* set_full_length, const double* set_weight,
     const i64* walks1_off, const i64* walks1_flat,
     const i64* walks2_off, const i64* walks2_flat,
-    i64 C1, const i64* table1, const i64* index_on1, const i64* chainid1,
+    i64 C1, const void* table1, const void* index_on1, const i64* chainid1,
     const i64* choff1, const i64* chnodes1,
-    i64 C2, const i64* table2, const i64* index_on2, const i64* chainid2,
+    i64 C2, const void* table2, const void* index_on2, const i64* chainid2,
     const i64* choff2, const i64* chnodes2,
     i64 ns1, const i64* sources1, i64 ns2, const i64* sources2,
     i64 nk1, const i64* sinks1, i64 nk2, const i64* sinks2,
     i64 n_masked, const i64* masked_rows,
+    int table_width,
     i64 out_cap, i64* out_rows, double* out_fvals);
 
 i64 chain_affine_parity(
@@ -67,14 +68,14 @@ i64 chain_affine_parity(
     const i64* set_full_length, const double* set_weight,
     const i64* walks1_off, const i64* walks1_flat,
     const i64* walks2_off, const i64* walks2_flat,
-    i64 C1, const i64* table1, const i64* index_on1, const i64* chainid1,
+    i64 C1, const void* table1, const void* index_on1, const i64* chainid1,
     const i64* choff1, const i64* chnodes1,
-    i64 C2, const i64* table2, const i64* index_on2, const i64* chainid2,
+    i64 C2, const void* table2, const void* index_on2, const i64* chainid2,
     const i64* choff2, const i64* chnodes2,
     const double* gap_open, const double* gap_extend, double local_scale,
     i64 ns1, const i64* sources1, i64 ns2, const i64* sources2,
     i64 nk1, const i64* sinks1, i64 nk2, const i64* sinks2,
-    i64 n_masked, const i64* masked_rows, int use_small,
+    i64 n_masked, const i64* masked_rows, int use_small, int table_width,
     i64 out_cap, i64* out_rows, double* out_fvals);
 
 void path_merge_build(
@@ -82,7 +83,7 @@ void path_merge_build(
     const i64* pind,
     i64 P, const i64* path_off, const i64* path_nodes,
     i64 src_id, i64 snk_id,
-    i64* index_on, i64* path_head, i64* table);
+    void* index_on, i64* path_head, void* table, int table_width);
 }
 
 namespace {
@@ -120,14 +121,15 @@ static void build_csr(i64 V, const std::vector<i64>& ef,
     for (size_t e = 0; e < ef.size(); ++e) ind[cursor[ef[e]]++] = et[e];
 }
 
+template <typename TI>
 struct ParentGraph {
     i64 V;
     const i64* nptr;
     const i64* nind;
     // xmerge view pieces used by extraction reachability
     i64 C;
-    const i64* table;     // (V, C)
-    const i64* index_on;  // (C, V)
+    const TI* table;     // (V, C)
+    const TI* index_on;  // (C, V)
     const i64* chain_id;  // (V,)
 };
 
@@ -141,7 +143,9 @@ struct Extraction {
 
 // extract_connecting_graph DFS (reference subgraph_extraction.hpp:35-118);
 // epoch-tagged scratch shared across gaps of the same parent graph
-static void extract_connecting(const ParentGraph& g, i64 from_id, i64 to_id,
+template <typename TI>
+static void extract_connecting(const ParentGraph<TI>& g, i64 from_id,
+                               i64 to_id,
                                std::vector<i64>& fwd, std::vector<i64>& epoch,
                                i64 cur, Extraction& out) {
     auto reachable = [&](i64 a, i64 b) -> bool {
@@ -225,13 +229,12 @@ static inline u64 mask_key3(i64 s, i64 i, i64 j) {
 
 }  // namespace
 
-extern "C" {
-
 // Full fill-in pass. Returns the merged chain length; writes at most out_cap
 // rows (caller retries with a bigger cap if the return exceeds it).
 // out_rows (cap, 5): orig_set, idx1, idx2, gap_before, gap_after
 // out_fvals (cap, 3): score, gap_score_before, gap_score_after
-i64 anchor_fill_in_native(
+template <typename TI>
+static i64 anchor_fill_in_impl(
         // parent graphs
         i64 V1, const i64* n1ptr, const i64* n1ind, const i64* p1ptr,
         const i64* p1ind,
@@ -241,8 +244,8 @@ i64 anchor_fill_in_native(
         i64 P1, const i64* path_off1, const i64* path_nodes1,
         i64 P2, const i64* path_off2, const i64* path_nodes2,
         // parent xmerge views (extraction reachability)
-        i64 C1, const i64* table1, const i64* index_on1, const i64* chainid1,
-        i64 C2, const i64* table2, const i64* index_on2, const i64* chainid2,
+        i64 C1, const TI* table1, const TI* index_on1, const i64* chainid1,
+        i64 C2, const TI* table2, const TI* index_on2, const i64* chainid2,
         // flattened match sets (current, post top-level-budget order)
         i64 num_sets_total, const i64* set_n1, const i64* set_n2,
         const i64* set_L, const i64* set_count1, const i64* set_count2,
@@ -289,8 +292,8 @@ i64 anchor_fill_in_native(
     };
 
     // ---------------- 1. extraction (reference anchorer.hpp:432-495)
-    ParentGraph pg1{V1, n1ptr, n1ind, C1, table1, index_on1, chainid1};
-    ParentGraph pg2{V2, n2ptr, n2ind, C2, table2, index_on2, chainid2};
+    ParentGraph<TI> pg1{V1, n1ptr, n1ind, C1, table1, index_on1, chainid1};
+    ParentGraph<TI> pg2{V2, n2ptr, n2ind, C2, table2, index_on2, chainid2};
     std::vector<Extraction> sub1(G), sub2(G);
     {
         std::vector<i64> fwd(V1, 0), epoch(V1, -1);
@@ -477,13 +480,13 @@ i64 anchor_fill_in_native(
         std::vector<i64> tb1(std::max<i64>(e1.V() * Psub1, 1), -1);
         path_merge_build(e1.V(), s1nptr.data(), s1nind.data(), s1pptr.data(),
                          s1pind.data(), Psub1, p1off.data(), p1nodes.data(),
-                         -1, -1, io1.data(), ph1.data(), tb1.data());
+                         -1, -1, io1.data(), ph1.data(), tb1.data(), 8);
         std::vector<i64> io2(std::max<i64>(Psub2 * e2.V(), 1), -1);
         std::vector<i64> ph2(std::max<i64>(e2.V(), 1), -1);
         std::vector<i64> tb2(std::max<i64>(e2.V() * Psub2, 1), -1);
         path_merge_build(e2.V(), s2nptr.data(), s2nind.data(), s2pptr.data(),
                          s2pind.data(), Psub2, p2off.data(), p2nodes.data(),
-                         -1, -1, io2.data(), ph2.data(), tb2.data());
+                         -1, -1, io2.data(), ph2.data(), tb2.data(), 8);
 
         // per-gap masked coordinates (anchorer.py chain_one)
         std::unordered_set<u64> fi_masked;
@@ -652,7 +655,7 @@ i64 anchor_fill_in_native(
                 s2.C, s2.tb, s2.io, s2.ph, s2.choff.data(), s2.chnodes,
                 s1.nsrc, s1.srcs, s2.nsrc, s2.srcs,
                 s1.nsnk, s1.snks, s2.nsnk, s2.snks,
-                (i64)(mrows.size() / 3), mrows.data(),
+                (i64)(mrows.size() / 3), mrows.data(), 8,
                 cap, res.rows.data(), res.fvals.data());
         } else {  // SparseAffine
             i64 max_diag_diff = s1.V + s2.V;
@@ -670,7 +673,7 @@ i64 anchor_fill_in_native(
                 gap_open, gap_extend, scale,
                 s1.nsrc, s1.srcs, s2.nsrc, s2.srcs,
                 s1.nsnk, s1.snks, s2.nsnk, s2.snks,
-                (i64)(mrows.size() / 3), mrows.data(), use_small,
+                (i64)(mrows.size() / 3), mrows.data(), use_small, 8,
                 cap, res.rows.data(), res.fvals.data());
         }
     }
@@ -731,14 +734,15 @@ i64 anchor_fill_in_native(
 // (reference anchorer.hpp:1018-1045): per gap, the min source->sink walk
 // distance of each extraction, combined exactly like the python oracle in
 // anchorer.py estimate_score_scale.
-i64 chain_fill_length_native(
+template <typename TI>
+static i64 chain_fill_length_impl(
         i64 V1, const i64* n1ptr, const i64* n1ind,
-        i64 C1, const i64* table1, const i64* index_on1, const i64* chainid1,
+        i64 C1, const TI* table1, const TI* index_on1, const i64* chainid1,
         i64 V2, const i64* n2ptr, const i64* n2ind,
-        i64 C2, const i64* table2, const i64* index_on2, const i64* chainid2,
+        i64 C2, const TI* table2, const TI* index_on2, const i64* chainid2,
         i64 G, const i64* endpoints /* (G, 4): from1, to1, from2, to2 */) {
-    ParentGraph pg1{V1, n1ptr, n1ind, C1, table1, index_on1, chainid1};
-    ParentGraph pg2{V2, n2ptr, n2ind, C2, table2, index_on2, chainid2};
+    ParentGraph<TI> pg1{V1, n1ptr, n1ind, C1, table1, index_on1, chainid1};
+    ParentGraph<TI> pg2{V2, n2ptr, n2ind, C2, table2, index_on2, chainid2};
     std::vector<i64> fwd1(V1, 0), epoch1(V1, -1);
     std::vector<i64> fwd2(V2, 0), epoch2(V2, -1);
     const i64 I64MAX = std::numeric_limits<i64>::max();
@@ -791,6 +795,83 @@ i64 chain_fill_length_native(
         total += fill_len;
     }
     return total;
+}
+
+extern "C" {
+
+i64 anchor_fill_in_native(
+        i64 V1, const i64* n1ptr, const i64* n1ind, const i64* p1ptr,
+        const i64* p1ind,
+        i64 V2, const i64* n2ptr, const i64* n2ind, const i64* p2ptr,
+        const i64* p2ind,
+        i64 P1, const i64* path_off1, const i64* path_nodes1,
+        i64 P2, const i64* path_off2, const i64* path_nodes2,
+        i64 C1, const void* table1, const void* index_on1,
+        const i64* chainid1,
+        i64 C2, const void* table2, const void* index_on2,
+        const i64* chainid2,
+        int table_width,
+        i64 num_sets_total, const i64* set_n1, const i64* set_n2,
+        const i64* set_L, const i64* set_count1, const i64* set_count2,
+        const i64* set_full_length,
+        const i64* walks1_off, const i64* walks1_flat,
+        const i64* walks2_off, const i64* walks2_flat,
+        i64 A, const i64* top_rows, const double* top_fvals,
+        i64 src1, i64 snk1, i64 src2, i64 snk2,
+        int algorithm, double scale,
+        const double* gap_open, const double* gap_extend,
+        int sf_kind, double sf_pcp, double sf_li, double sf_ldp,
+        i64 max_num_match_pairs,
+        i64 n_masked, const i64* masked_rows,
+        int n_threads,
+        i64 out_cap, i64* out_rows, double* out_fvals) {
+    if (table_width == 4) {
+        return anchor_fill_in_impl<int32_t>(
+            V1, n1ptr, n1ind, p1ptr, p1ind, V2, n2ptr, n2ind, p2ptr, p2ind,
+            P1, path_off1, path_nodes1, P2, path_off2, path_nodes2,
+            C1, (const int32_t*)table1, (const int32_t*)index_on1, chainid1,
+            C2, (const int32_t*)table2, (const int32_t*)index_on2, chainid2,
+            num_sets_total, set_n1, set_n2, set_L, set_count1, set_count2,
+            set_full_length, walks1_off, walks1_flat, walks2_off, walks2_flat,
+            A, top_rows, top_fvals, src1, snk1, src2, snk2,
+            algorithm, scale, gap_open, gap_extend,
+            sf_kind, sf_pcp, sf_li, sf_ldp, max_num_match_pairs,
+            n_masked, masked_rows, n_threads, out_cap, out_rows, out_fvals);
+    }
+    return anchor_fill_in_impl<i64>(
+        V1, n1ptr, n1ind, p1ptr, p1ind, V2, n2ptr, n2ind, p2ptr, p2ind,
+        P1, path_off1, path_nodes1, P2, path_off2, path_nodes2,
+        C1, (const i64*)table1, (const i64*)index_on1, chainid1,
+        C2, (const i64*)table2, (const i64*)index_on2, chainid2,
+        num_sets_total, set_n1, set_n2, set_L, set_count1, set_count2,
+        set_full_length, walks1_off, walks1_flat, walks2_off, walks2_flat,
+        A, top_rows, top_fvals, src1, snk1, src2, snk2,
+        algorithm, scale, gap_open, gap_extend,
+        sf_kind, sf_pcp, sf_li, sf_ldp, max_num_match_pairs,
+        n_masked, masked_rows, n_threads, out_cap, out_rows, out_fvals);
+}
+
+i64 chain_fill_length_native(
+        i64 V1, const i64* n1ptr, const i64* n1ind,
+        i64 C1, const void* table1, const void* index_on1,
+        const i64* chainid1,
+        i64 V2, const i64* n2ptr, const i64* n2ind,
+        i64 C2, const void* table2, const void* index_on2,
+        const i64* chainid2,
+        int table_width,
+        i64 G, const i64* endpoints) {
+    if (table_width == 4) {
+        return chain_fill_length_impl<int32_t>(
+            V1, n1ptr, n1ind, C1, (const int32_t*)table1,
+            (const int32_t*)index_on1, chainid1,
+            V2, n2ptr, n2ind, C2, (const int32_t*)table2,
+            (const int32_t*)index_on2, chainid2, G, endpoints);
+    }
+    return chain_fill_length_impl<i64>(
+        V1, n1ptr, n1ind, C1, (const i64*)table1, (const i64*)index_on1,
+        chainid1,
+        V2, n2ptr, n2ind, C2, (const i64*)table2, (const i64*)index_on2,
+        chainid2, G, endpoints);
 }
 
 }  // extern "C"

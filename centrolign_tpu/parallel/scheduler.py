@@ -44,14 +44,14 @@ def _worker_align(cfg_bytes, payload1, payload2):
     alignment) of the fused parent."""
     from ..core import pairwise_align_step, fuse_step
     from ..execution import Subproblem
-    max_count, score_function, anchorer, partitioner, stitcher = \
-        pickle.loads(cfg_bytes)
+    (max_count, score_function, anchorer, partitioner, stitcher,
+     memory_restraint_size) = pickle.loads(cfg_bytes)
     sub1, sub2 = Subproblem(), Subproblem()
     sub1.graph, sub1.tableau = pickle.loads(payload1)
     sub2.graph, sub2.tableau = pickle.loads(payload2)
     alignment = pairwise_align_step(
         sub1, sub2, max_count, score_function, anchorer, partitioner,
-        stitcher)
+        stitcher, memory_restraint_size=memory_restraint_size)
     graph, tableau = fuse_step(sub1, sub2, alignment)
     return pickle.dumps((graph, tableau, alignment),
                         protocol=pickle.HIGHEST_PROTOCOL)
@@ -110,7 +110,8 @@ def distributed_execute(core, n_hosts: int) -> None:
         # ---- layer-wise progressive MSA
         logmod.log(logmod.Minimal, "Beginning MSA.")
         cfg = pickle.dumps((core.max_count, core.score_function,
-                            core.anchorer, core.partitioner, core.stitcher))
+                            core.anchorer, core.partitioner, core.stitcher,
+                            core.memory_restraint_size))
         layers = ex.independent_layers()
         computed = set()
         for li, layer in enumerate(layers):

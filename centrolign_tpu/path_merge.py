@@ -223,8 +223,8 @@ def xmerge_view_arrays(xm):
     """Flattened arrays of a PathMerge/ChainMerge for the native parity
     engine: (table (V,C), index_on (C,V), chain_id (V,), chain_offsets,
     chain_nodes)."""
-    table = np.ascontiguousarray(xm.table, dtype=_I64)
-    index_on = np.ascontiguousarray(xm.index_on, dtype=_I64)
+    table = np.ascontiguousarray(xm.table)
+    index_on = np.ascontiguousarray(xm.index_on)
     if hasattr(xm, "chains"):  # ChainMerge
         chain_id = np.ascontiguousarray(xm.chain_id, dtype=_I64)
         chains = xm.chains
@@ -240,3 +240,66 @@ def xmerge_view_arrays(xm):
     nodes = (np.concatenate(chains).astype(_I64) if chains
              else np.empty(0, dtype=_I64))
     return table, index_on, chain_id, offsets, nodes
+
+
+class PackedPathMerge(PathMerge):
+    """PathMerge over bit-packed storage, selected when the table footprint
+    exceeds ``memory_restraint_size`` (reference packed_path_merge.hpp:23,
+    chosen at core.hpp:310-327). The (V, C) reachability tables are held as
+    page-anchored packed difference vectors (utils/packed.py) — the
+    architecture-appropriate analog of the reference's PackedVector/
+    PagedVector tiers. Python-side queries read the packed words directly;
+    the native engines consume flat int32 views that are materialized on
+    demand and dropped with release() after each pipeline stage, so the
+    packed form bounds the resident footprint between native calls."""
+
+    def __init__(self, graph, tableau=None):
+        # deliberately does not chain to PathMerge.__init__: table/index_on
+        # are properties here (query methods are inherited)
+        from .native import path_merge_build
+        from .utils.packed import PagedVector
+        index_on, path_head, table = path_merge_build(graph, tableau)
+        self.num_chains = table.shape[1]
+        self.graph = graph
+        self.tableau = tableau
+        self.path_head = path_head
+        self._shape_table = table.shape
+        self._shape_io = index_on.shape
+        self._table_packed = PagedVector(np.asarray(table).ravel())
+        self._io_packed = PagedVector(np.asarray(index_on).ravel())
+        self._table_cache = None
+        self._io_cache = None
+
+    @property
+    def table(self):
+        if self._table_cache is None:
+            self._table_cache = self._table_packed.to_array().astype(
+                np.int32).reshape(self._shape_table)
+        return self._table_cache
+
+    @property
+    def index_on(self):
+        if self._io_cache is None:
+            self._io_cache = self._io_packed.to_array().astype(
+                np.int32).reshape(self._shape_io)
+        return self._io_cache
+
+    def release(self) -> None:
+        """Drop the materialized dense views (packed storage remains)."""
+        self._table_cache = None
+        self._io_cache = None
+
+    def memory_bytes(self) -> int:
+        return (self._table_packed.memory_bytes()
+                + self._io_packed.memory_bytes())
+
+    def reachable(self, from_id: int, to_id: int) -> bool:
+        cf = self.path_head[from_id]
+        if cf == MISSING:
+            return False
+        C = self._shape_table[1]
+        last = int(self._table_packed[to_id * C + cf])
+        if last == MISSING:
+            return False
+        V = self._shape_io[1]
+        return int(self._io_packed[cf * V + from_id]) <= last

@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 
 def _write_quad(tmp_path):
@@ -40,6 +41,7 @@ def _run(args):
     return r.stdout
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_round_trip(tmp_path):
     fa, nwk = _write_quad(tmp_path)
     full = _run(["-v", "0", "-T", nwk, fa])

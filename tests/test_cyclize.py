@@ -17,6 +17,7 @@ pytestmark = pytest.mark.skipif(not os.path.exists(REF),
                                 reason="reference binary unavailable")
 
 
+@pytest.mark.slow
 def test_bond_cigars_match_reference(tmp_path):
     rng = np.random.default_rng(99)
     unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 171))
@@ -62,6 +63,7 @@ def test_bond_cigars_match_reference(tmp_path):
     assert r2.stdout == r1.stdout, "final cyclized GFA differs"
 
 
+@pytest.mark.slow
 def test_final_cyclized_gfa_matches_reference(tmp_path):
     """Byte-identical -c GFA end-to-end (internal_fuse + simplify_bubbles +
     polish; the reference realigns 2 regions on this input)."""

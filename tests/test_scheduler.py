@@ -35,6 +35,7 @@ def _run(fa, out_dir, extra):
 
 
 @pytest.mark.parametrize("n_seqs", [3, 5])
+@pytest.mark.slow
 def test_distributed_matches_serial(tmp_path, n_seqs):
     fa = tmp_path / "in.fa"
     _make_fasta(fa, n_seqs)
