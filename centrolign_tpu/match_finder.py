@@ -365,3 +365,79 @@ def find_matches(graph1, graph2, tableau1, tableau2, max_count: int,
             walks1=w1, walks2=w2, count1=len(w1), count2=len(w2),
             full_length=L))
     return match_sets
+
+
+class GESAMatchFinder:
+    """Alternative matcher over a prefix-sorted automaton (reference
+    match_finder.hpp:92-115, src/match_finder.cpp:7-59): simplify both
+    graphs, build a GESA with a size limit, and on GESASizeException
+    re-simplify the blowup regions and retry recursively."""
+
+    def __init__(self, score_function=None, max_count: int = 3000):
+        from .simplifier import Simplifier
+        self.score_function = score_function
+        self.max_count = max_count
+        self.size_limit_factor = 16
+        self.simplifier = Simplifier()
+        self.use_color_set_size = True
+
+    def find_matches(self, graph1, graph2, tableau1, tableau2):
+        expanded1 = self.simplifier.simplify(graph1, tableau1)
+        expanded2 = self.simplifier.simplify(graph2, tableau2)
+        return self._index_and_query(expanded1, expanded2)
+
+    def _index_and_query(self, expanded1, expanded2):
+        from .gesa import GESA, GESASizeException
+        try:
+            size_limit = self.size_limit_factor * (
+                expanded1.graph.node_size + expanded2.graph.node_size)
+            gesa = GESA([expanded1.graph, expanded2.graph],
+                        [expanded1.back_translation,
+                         expanded2.back_translation],
+                        size_limit=size_limit)
+            return self._query_index(gesa)
+        except GESASizeException as ex:
+            from . import logging as logmod
+            logmod.log(logmod.Verbose,
+                       "Graph not simple enough to index, resimplifying.")
+            targets = self.simplifier.identify_target_nodes(ex.curr_counts)
+            simplify_dist = 1 << ex.step
+            pre1 = expanded1.graph.node_size
+            pre2 = expanded2.graph.node_size
+            more1 = self.simplifier.targeted_simplify(
+                expanded1.graph, expanded1.tableau, targets[0],
+                simplify_dist)
+            more2 = self.simplifier.targeted_simplify(
+                expanded2.graph, expanded2.tableau, targets[1],
+                simplify_dist)
+            more1.back_translation = [
+                expanded1.back_translation[t] for t in more1.back_translation]
+            more2.back_translation = [
+                expanded2.back_translation[t] for t in more2.back_translation]
+            if (pre1 == more1.graph.node_size
+                    and pre2 == more2.graph.node_size):
+                raise RuntimeError(
+                    "Simplification algorithm failed to simplify graph")
+            return self._index_and_query(more1, more2)
+
+    def _query_index(self, gesa):
+        """The shared query (reference BaseMatchFinder::query_index,
+        match_finder.hpp:144-212) over the GESA."""
+        match_sets = []
+        for node, length, counts in gesa.minimal_rare_matches(
+                self.max_count, use_css=self.use_color_set_size):
+            if self.score_function is not None:
+                if self.score_function.anchor_weight(
+                        counts[0], counts[1], length) <= 0.0:
+                    continue
+            walks1, walks2 = [], []
+            for comp, walk in gesa.walk_matches(node, length):
+                (walks1 if comp == 0 else walks2).append(walk)
+            if not walks1 or not walks2:
+                continue
+            match_sets.append(MatchSet(
+                walks1=np.array(walks1, dtype=np.int64),
+                walks2=np.array(walks2, dtype=np.int64),
+                count1=len(walks1), count2=len(walks2),
+                full_length=length))
+        return match_sets
