@@ -543,6 +543,190 @@ def _finish_boundary_col(t1: DagTables, params, bcol_I, bcol_M, i):
 
 
 # ---------------------------------------------------------------------------
+# batched entry: group gap jobs by compile bucket and run each bucket as
+# vmapped fill + traceback (the chip link is latency-bound, ~25ms/launch)
+
+
+class _DagJob:
+    __slots__ = ("t1", "t2", "bcol_I", "bcol_M", "brow_D", "brow_M",
+                 "arrays", "bucket", "sinks1", "sinks2", "params")
+
+    def __init__(self, graph1, graph2, sources1, sources2, sinks1, sinks2,
+                 params):
+        self.t1 = DagTables(graph1, sources1)
+        self.t2 = DagTables(graph2, sources2)
+        self.sinks1 = sinks1
+        self.sinks2 = sinks2
+        self.params = params
+        self.arrays = None
+        self.bucket = None
+
+    @property
+    def eligible(self):
+        return self.t1.eligible and self.t2.eligible \
+            and len(self.sinks1) and len(self.sinks2)
+
+    def prepare(self):
+        t1, t2, params = self.t1, self.t2, self.params
+        self.bcol_I, self.bcol_M, self.brow_D, self.brow_M, bdiag, \
+            bdiag_k1 = _boundaries(t1, t2, params)
+        K1 = max(t1.K, 1)
+        K2 = max(t2.K, 1)
+        S1 = _pow2_bucket(max(t1.S, 1), 1)
+        S2 = _pow2_bucket(max(t2.S, 1), 1)
+        R = _pow2_bucket(max(S1, S2) + 1, 2)
+        W = _pow2_bucket(t1.V, 128)
+        D = _pow2_bucket(t1.V + t2.V - 1, 128)
+        cap2 = _pow2_bucket(t2.V + 1, 128)
+        self.bucket = (W, D, cap2, K1, K2, S1, S2, R, params.num_pw,
+                       params.match, params.mismatch,
+                       tuple(params.gap_open), tuple(params.gap_extend))
+        V1, V2 = t1.V, t2.V
+        lab1 = np.full(W, -1, dtype=_I32)
+        lab1[:V1] = t1.labels
+        issrc1 = np.zeros(W, dtype=_I32)
+        issrc1[:V1] = t1.is_src[:V1]
+        delta1 = np.zeros((K1, W), dtype=_I32)
+        delta1[:t1.delta.shape[0], :V1] = t1.delta
+        bcolM_l = np.full(W, _NEG, dtype=_I32)
+        bcolM_l[:V1] = self.bcol_M
+        bdiag_l = np.full(W, _NEG, dtype=_I32)
+        bdiag_l[:V1] = bdiag
+        bdiagk1_l = np.zeros(W, dtype=_I32)
+        bdiagk1_l[:V1] = bdiag_k1
+        lab2r = _rev_pad(t2.labels, W, cap2, -2)
+        issrc2r = _rev_pad(t2.is_src[:V2], W, cap2, 0)
+        delta2r = np.stack([
+            _rev_pad(t2.delta[k] if k < t2.delta.shape[0]
+                     else np.zeros(V2, _I32), W, cap2, 0)
+            for k in range(K2)])
+        browMr = _rev_pad(self.brow_M, W, cap2, _NEG)
+        delta1p = np.zeros((K1, W), dtype=_I32)
+        delta1p[:t1.delta.shape[0], :V1] = t1.delta
+        delta2p = np.zeros((K2, D), dtype=_I32)
+        delta2p[:t2.delta.shape[0], :V2] = t2.delta
+        self.arrays = (lab1, issrc1, delta1, bcolM_l, bdiag_l, bdiagk1_l,
+                       lab2r, issrc2r, delta2r, browMr, delta1p, delta2p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "D", "K1", "K2", "S1", "S2", "npw", "R", "cap"))
+def _batch_fill_tb(lab1, issrc1, delta1, bcolM, bdiag, bdiagk1,
+                   lab2r, issrc2r, delta2r, browMr, V1, V2,
+                   pair1, pair2, delta1p, delta2p,
+                   match, mismatch, go, ge,
+                   W: int, D: int, K1: int, K2: int, S1: int, S2: int,
+                   npw: int, R: int, cap: int):
+    """vmapped fill + sink select + traceback for one bucket. pair1/pair2:
+    (B, P) sink-pair positions padded with copies of pair 0. Returns
+    (packed (B, cap+2, 2), best (B,), score (B,))."""
+    def one(l1, is1, d1, bm, bd, bdk, l2, is2, d2, brm, v1, v2, p1, p2,
+            d1p, d2p):
+        bp, M = _fill_scan(
+            l1, is1, d1, bm, bd, bdk, l2, is2, d2, brm, v1, v2,
+            match, mismatch, go, ge,
+            W=W, D=D, K1=K1, K2=K2, S1=S1, S2=S2, npw=npw, R=R)
+        vals = M[p1 + p2, p1]
+        best = jnp.argmax(vals)
+        score = vals[best]
+        packed = _traceback_scan(bp, d1p, d2p, p1[best], p2[best],
+                                 K1=K1, K2=K2, npw=npw, cap=cap)
+        return packed, best, score
+
+    return jax.vmap(one)(lab1, issrc1, delta1, bcolM, bdiag, bdiagk1,
+                         lab2r, issrc2r, delta2r, browMr, V1, V2,
+                         pair1, pair2, delta1p, delta2p)
+
+
+def popoa_dag_batch(jobs):
+    """jobs: list of _DagJob (all eligible, prepared). Returns a list of
+    (alignment, score) with results identical to popoa_dag_device."""
+    results = [None] * len(jobs)
+    buckets = {}
+    for idx, job in enumerate(jobs):
+        buckets.setdefault(job.bucket, []).append(idx)
+    for bucket, idxs in buckets.items():
+        (W, D, cap2, K1, K2, S1, S2, R, npw, match, mismatch,
+         gop, gep) = bucket
+        cap = D + 4
+        go = jnp.asarray(gop, dtype=jnp.int32)
+        ge = jnp.asarray(gep, dtype=jnp.int32)
+        # pad the batch to a power of two to bound compile variants
+        B = _pow2_bucket(len(idxs), 1)
+        P = 1
+        pairs = []
+        for i in idxs:
+            job = jobs[i]
+            sp1 = job.t1.pos[np.asarray(job.sinks1, dtype=_I64)]
+            sp2 = job.t2.pos[np.asarray(job.sinks2, dtype=_I64)]
+            p1 = np.repeat(sp1, len(sp2)).astype(_I32)
+            p2 = np.tile(sp2, len(sp1)).astype(_I32)
+            pairs.append((p1, p2))
+            P = max(P, len(p1))
+        P = _pow2_bucket(P, 1)
+        stacks = [[] for _ in range(12)]
+        V1s, V2s, p1s, p2s = [], [], [], []
+        for k in range(B):
+            i = idxs[min(k, len(idxs) - 1)]
+            job = jobs[i]
+            for a, arr in enumerate(job.arrays):
+                stacks[a].append(arr)
+            V1s.append(job.t1.V)
+            V2s.append(job.t2.V)
+            p1, p2 = pairs[min(k, len(idxs) - 1)]
+            pad = P - len(p1)
+            p1s.append(np.concatenate([p1, np.full(pad, p1[0], _I32)]))
+            p2s.append(np.concatenate([p2, np.full(pad, p2[0], _I32)]))
+        args = [jnp.asarray(np.stack(s)) for s in stacks]
+        packed, best, score = _batch_fill_tb(
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            args[6], args[7], args[8], args[9],
+            jnp.asarray(np.asarray(V1s, np.int32)),
+            jnp.asarray(np.asarray(V2s, np.int32)),
+            jnp.asarray(np.stack(p1s)), jnp.asarray(np.stack(p2s)),
+            args[10], args[11],
+            jnp.int32(match), jnp.int32(mismatch), go, ge,
+            W=W, D=D, K1=K1, K2=K2, S1=S1, S2=S2, npw=npw, R=R, cap=cap)
+        packed = np.asarray(jax.device_get(packed), dtype=np.int64)
+        score = np.asarray(jax.device_get(score))
+        for k, i in enumerate(idxs):
+            job = jobs[i]
+            if score[k] <= int(_NEG_HALF):
+                results[i] = None  # no interior alignment; caller falls back
+                continue
+            results[i] = _assemble_result(
+                job, packed[k], int(score[k]), cap)
+    return results
+
+
+def _assemble_result(job, packed, score, cap):
+    t1, t2, params = job.t1, job.t2, job.params
+    count = int(packed[0, 0])
+    exit_kind = int(packed[0, 1])
+    exit_r1 = int(packed[1, 0])
+    exit_r2 = int(packed[1, 1])
+    dev_pairs = packed[len(packed) - count:]
+    lead = []
+    if exit_kind == _EXIT_ROW:
+        lead = _finish_boundary_row(t2, params, job.brow_D, job.brow_M,
+                                    exit_r2)
+        lead.reverse()
+    elif exit_kind == _EXIT_COL:
+        lead = _finish_boundary_col(t1, params, job.bcol_I, job.bcol_M,
+                                    exit_r1)
+        lead.reverse()
+    out = []
+    for (a, b) in lead:
+        out.append((t1.order[a] if a != GAP else GAP,
+                    t2.order[b] if b != GAP else GAP))
+    for (a, b) in dev_pairs:
+        out.append((t1.order[a] if a != -1 else GAP,
+                    t2.order[b] if b != -1 else GAP))
+    return np.array(out, dtype=_I64).reshape(-1, 2), score
+
+
+# ---------------------------------------------------------------------------
 # public entry
 
 

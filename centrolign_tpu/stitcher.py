@@ -142,19 +142,39 @@ class Stitcher:
     def _flush_pending(self, stitched: list) -> None:
         """Run all queued device gap alignments as grouped batched launches
         (the chip link is latency-bound: ~25ms/round-trip)."""
-        slots = [k for k, x in enumerate(stitched) if isinstance(x, _Pending)]
-        if not slots:
-            return
-        from .ops.gotoh_pallas import gotoh_align_pallas_batched
         from . import metrics
-        jobs = [stitched[k].job for k in slots]
-        t0 = metrics.timer()
-        results = gotoh_align_pallas_batched(jobs, self.alignment_params)
-        cells = sum((len(s1) + 1) * (len(s2) + 1) for s1, s2, _sw in jobs)
-        metrics.record("pod", cells, metrics.timer() - t0,
-                       f"batch={len(jobs)}")
-        for k, (aln, _score) in zip(slots, results):
-            stitched[k] = stitched[k].finish(aln)
+        chain_slots = [k for k, x in enumerate(stitched)
+                       if isinstance(x, _Pending) and x.job[0] != "dag"]
+        dag_slots = [k for k, x in enumerate(stitched)
+                     if isinstance(x, _Pending) and x.job[0] == "dag"]
+        if chain_slots:
+            from .ops.gotoh_pallas import gotoh_align_pallas_batched
+            jobs = [stitched[k].job for k in chain_slots]
+            t0 = metrics.timer()
+            results = gotoh_align_pallas_batched(jobs, self.alignment_params)
+            cells = sum((len(s1) + 1) * (len(s2) + 1)
+                        for s1, s2, _sw in jobs)
+            metrics.record("pod", cells, metrics.timer() - t0,
+                           f"batch={len(jobs)}")
+            for k, (aln, _score) in zip(chain_slots, results):
+                stitched[k] = stitched[k].finish(aln)
+        if dag_slots:
+            from .ops.popoa_dag import popoa_dag_batch
+            jobs = [stitched[k].job[1] for k in dag_slots]
+            t0 = metrics.timer()
+            results = popoa_dag_batch(jobs)
+            cells = sum((j.t1.V + 1) * (j.t2.V + 1) for j in jobs)
+            metrics.record("pod", cells, metrics.timer() - t0,
+                           f"dag batch={len(jobs)}")
+            for k, got in zip(dag_slots, results):
+                if got is None:
+                    # rare: no interior alignment through the kernel's
+                    # matrix; rerun this gap on the native engine
+                    job = stitched[k].job
+                    aln, _ = popoa_native(*job[2])
+                else:
+                    aln = got[0]
+                stitched[k] = stitched[k].finish(aln)
 
     def internal_stitch(self, anchor_chain, graph, xmerge) -> np.ndarray:
         """(reference stitcher.hpp:208-234). Note the reference appends each
@@ -288,17 +308,18 @@ class Stitcher:
         if (self.use_device and V1 * V2 >= self.device_min_cells
                 and self._device_ok()):
             # DAG x DAG (and truncated-parameter chain) gaps: the
-            # topological-wavefront device kernel (ops/popoa_dag.py);
-            # graphs outside its envelope return None and fall through
-            from .ops.popoa_dag import popoa_dag_device
-            t0 = metrics.timer()
-            got = popoa_dag_device(
-                ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
-                ex1.sinks, ex2.sinks, params)
-            if got is not None:
-                metrics.record("pod", (V1 + 1) * (V2 + 1),
-                               metrics.timer() - t0, f"dag {V1}x{V2}")
-                return got[0]
+            # topological-wavefront device kernel (ops/popoa_dag.py),
+            # queued for bucketed batch launches; graphs outside its
+            # envelope fall through to the native engine
+            from .ops.popoa_dag import _DagJob
+            job = _DagJob(ex1.subgraph, ex2.subgraph, ex1.sources,
+                          ex2.sources, ex1.sinks, ex2.sinks, params)
+            if job.eligible:
+                job.prepare()
+                native_args = (ex1.subgraph, ex2.subgraph, ex1.sources,
+                               ex2.sources, ex1.sinks, ex2.sinks, params)
+                return _Pending(job=("dag", job, native_args),
+                                finish=lambda aln: aln)
         t0 = metrics.timer()
         aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
                               ex2.sources, ex1.sinks, ex2.sinks, params)

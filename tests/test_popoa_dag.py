@@ -100,3 +100,72 @@ def test_eligibility_gate():
     g.add_edge(0, 23)  # span 23 > S_MAX in any topo order of this graph
     t = DagTables(g, [0])
     assert not t.eligible
+
+
+def test_batch_matches_oracle():
+    from centrolign_tpu.ops.popoa_dag import _DagJob, popoa_dag_batch
+    import jax
+    rng = np.random.default_rng(1234)
+    params = PARAMS[0]
+    jobs = []
+    expected = []
+    for trial in range(10):
+        g1 = random_dag(rng, int(rng.integers(5, 40)))
+        g2 = random_dag(rng, int(rng.integers(5, 40)))
+        s1, s2 = graph_sources(g1), graph_sources(g2)
+        k1, k2 = graph_sinks(g1), graph_sinks(g2)
+        job = _DagJob(g1, g2, s1, s2, k1, k2, params)
+        if not job.eligible:
+            continue
+        job.prepare()
+        jobs.append(job)
+        expected.append(popoa(g1, g2, s1, s2, k1, k2, params))
+    assert len(jobs) >= 4
+    with jax.default_device(jax.devices("cpu")[0]):
+        results = popoa_dag_batch(jobs)
+    for got, (aln_h, score_h) in zip(results, expected):
+        assert got is not None
+        aln_d, score_d = got
+        assert score_d == score_h
+        assert np.array_equal(aln_d, aln_h)
+
+
+@pytest.mark.slow
+def test_stitcher_device_dag_path_byte_parity(tmp_path):
+    """A small MSA with the device threshold lowered so DAG gaps go through
+    the batched kernel must produce the identical GFA to the native path."""
+    import io
+    import jax
+    from centrolign_tpu.core import Core
+    from centrolign_tpu.tree import Tree, in_order_newick_string
+    from centrolign_tpu.io.gfa import write_gfa
+
+    rng = np.random.default_rng(909)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+
+    def mut(s):
+        return "".join("ACGT"[rng.integers(0, 4)] if rng.random() < 0.03
+                       else c for c in s)
+    seqs = [(f"g{i}", mut(base)) for i in range(3)]
+
+    def run(device: bool):
+        import os
+        core = Core(seqs, Tree(in_order_newick_string(
+            [n for n, _ in seqs])))
+        if device:
+            os.environ["CENTROLIGN_TPU_USE_DEVICE"] = "force"
+        else:
+            os.environ["CENTROLIGN_TPU_USE_DEVICE"] = "0"
+        core.stitcher.__post_init__()
+        core.stitcher.device_min_cells = 2000
+        with jax.default_device(jax.devices("cpu")[0]):
+            core.execute()
+        buf = io.StringIO()
+        root = core.root_subproblem()
+        write_gfa(root.graph, root.tableau, buf)
+        os.environ.pop("CENTROLIGN_TPU_USE_DEVICE", None)
+        return buf.getvalue()
+
+    native = run(False)
+    device = run(True)
+    assert native == device
