@@ -78,6 +78,11 @@ class Execution:
     def next(self):
         node_id = self.execution_order[self.next_subproblem]
         self.next_subproblem += 1
+        if logmod.level >= logmod.Verbose:
+            names = "\n".join("\t" + n
+                              for n in self.leaf_descendents(node_id))
+            logmod.log(logmod.Verbose,
+                       "Next subproblem contains sequences:\n" + names)
         children = self.tree.get_children(node_id)
         if len(children) != 2:
             raise RuntimeError("Attempting execution with a tree that is not binary")

@@ -673,6 +673,8 @@ def main(argv=None) -> int:
     ap.add_argument("-s", "--substitution-rate", type=float,
                     default=1.0 / 500000.0)
     ap.add_argument("-z", "--seed", type=int, default=None)
+    ap.add_argument("--skip-pairwise", action="store_true",
+                    help="skip truth pairwise CIGARs (quadratic in leaves)")
     args = ap.parse_args(argv)
 
     ev = Evolver()
@@ -740,8 +742,11 @@ def main(argv=None) -> int:
                                   for o in sequences[node_id].origin))
                 f.write("\n")
 
-    print("doing pairwise alignments", file=sys.stderr)
     leaves = [t for t in range(tree.node_size) if tree.is_leaf(t)]
+    if args.skip_pairwise:
+        leaves = []
+    else:
+        print("doing pairwise alignments", file=sys.stderr)
     for ai in range(len(leaves)):
         for bi in range(ai + 1, len(leaves)):
             na, nb = leaves[ai], leaves[bi]
