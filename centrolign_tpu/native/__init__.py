@@ -868,22 +868,30 @@ class SuperbubbleTree:
         self.chain_of = chain_of[:S].copy()
         self.chain_parent = chain_parent[:self.chain_count].copy()
         self.chain_dists = chain_dist[:self.chain_count].copy()
-        # structures inside each chain, in left-to-right boundary order
-        self.chain_structs = [[] for _ in range(self.chain_count)]
-        order = {}
-        for s in range(self.structure_size):
-            order.setdefault(int(self.chain_of[s]), []).append(s)
-        for c, ss in order.items():
-            if len(ss) == 1:
-                self.chain_structs[c] = ss
-                continue
-            nxt = {int(self.bounds[s, 0]): s for s in ss}
-            ends = {int(self.bounds[s, 1]) for s in ss}
-            start = [s for s in ss if int(self.bounds[s, 0]) not in ends][0]
-            seq = [start]
-            while int(self.bounds[seq[-1], 1]) in nxt:
-                seq.append(nxt[int(self.bounds[seq[-1], 1])])
-            self.chain_structs[c] = seq
+        self._chain_structs = None  # built lazily (only the simplifier
+        # walks chains; match splitting on big graphs never does)
+
+    @property
+    def chain_structs(self):
+        if self._chain_structs is None:
+            # structures inside each chain, left-to-right boundary order
+            self._chain_structs = [[] for _ in range(self.chain_count)]
+            order = {}
+            for s in range(self.structure_size):
+                order.setdefault(int(self.chain_of[s]), []).append(s)
+            for c, ss in order.items():
+                if len(ss) == 1:
+                    self._chain_structs[c] = ss
+                    continue
+                nxt = {int(self.bounds[s, 0]): s for s in ss}
+                ends = {int(self.bounds[s, 1]) for s in ss}
+                start = [s for s in ss
+                         if int(self.bounds[s, 0]) not in ends][0]
+                seq = [start]
+                while int(self.bounds[seq[-1], 1]) in nxt:
+                    seq.append(nxt[int(self.bounds[seq[-1], 1])])
+                self._chain_structs[c] = seq
+        return self._chain_structs
 
     def structures_inside(self, chain_id: int):
         return self.chain_structs[chain_id]
