@@ -30,21 +30,30 @@ def main():
     # two reps, worker processes, and repeated driver runs
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+    # kick the link probe off FIRST: cold link/runtime init has been
+    # measured at ~56 s on this tunnel, and it overlaps fully with the
+    # native build + baseline loading below
+    from centrolign_tpu.device import (device_healthy, device_kind,
+                                       start_probe_async)
+    start_probe_async()
+
     with open(os.path.join(here, "benchdata", "baseline.json")) as f:
         baseline = json.load(f)
     ref_s = float(baseline["reference_wall_s"])
 
     from centrolign_tpu.cli import main as cli_main
-    from centrolign_tpu.device import device_healthy, device_kind
     from centrolign_tpu import metrics
 
     # warm the native build outside the timed region
     import centrolign_tpu.native  # noqa: F401
 
+    note = ""
     healthy = device_healthy()
     if not healthy:
-        print("# device link unhealthy; benchmarking the native path",
-              file=sys.stderr)
+        # LOUD fallback: the whole point of this bench is the device path
+        note = ("DEVICE FALLBACK: link probe failed; these are CPU-only "
+                "numbers")
+        print(f"# {note}", file=sys.stderr)
         os.environ["CENTROLIGN_TPU_USE_DEVICE"] = "0"
     else:
         import jax
@@ -109,6 +118,8 @@ def main():
         "aligners": {k: v for k, v in best_metrics.items()
                      if isinstance(v, dict)},
     }
+    if note:
+        out["note"] = note
     print(json.dumps(out))
 
 

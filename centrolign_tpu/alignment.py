@@ -120,6 +120,93 @@ def align_ond(seq1, seq2) -> np.ndarray:
     return np.array(pairs, dtype=_I64).reshape(-1, 2)
 
 
+def align_nw(seq1, seq2, params) -> tuple[np.ndarray, int]:
+    """Independent full-matrix Needleman-Wunsch-Gotoh test oracle (reference
+    align_nw, alignment.hpp:2341): global seq-seq alignment under the same
+    piecewise-affine parameters as po_poa, written as a plain row-major
+    numpy DP — deliberately a *different* formulation from the anti-diagonal
+    kernels so the two can cross-validate (the reference uses align_nw the
+    same way against WFA and O(ND), src/test/test_alignment.cpp).
+
+    Returns (alignment (L, 2) pairs with GAP = -1, score). The optimal score
+    is unique; the returned alignment attains it (tie-breaking here is this
+    oracle's own: diagonal first, then I components, then D)."""
+    s1 = np.asarray(seq1)
+    s2 = np.asarray(seq2)
+    n, m = len(s1), len(s2)
+    npw = len(params.gap_open)
+    go = np.asarray(params.gap_open, dtype=np.int64)
+    ge = np.asarray(params.gap_extend, dtype=np.int64)
+    NEG = np.int64(np.iinfo(np.int32).min // 2)
+
+    M = np.full((n + 1, m + 1), NEG, dtype=np.int64)
+    I = np.full((npw, n + 1, m + 1), NEG, dtype=np.int64)  # gap in seq2
+    D = np.full((npw, n + 1, m + 1), NEG, dtype=np.int64)  # gap in seq1
+    M[0, 0] = 0
+    for pw in range(npw):
+        I[pw, 1:, 0] = -go[pw] - ge[pw] * np.arange(1, n + 1)
+        D[pw, 0, 1:] = -go[pw] - ge[pw] * np.arange(1, m + 1)
+    M[1:, 0] = I[:, 1:, 0].max(axis=0)
+    M[0, 1:] = D[:, 0, 1:].max(axis=0)
+
+    for i in range(1, n + 1):
+        sub = np.where(s1[i - 1] == s2, params.match,
+                       -params.mismatch).astype(np.int64)
+        Mrow = M[i]
+        Mprev = M[i - 1]
+        Mrow[1:] = Mprev[:-1] + sub
+        for pw in range(npw):
+            Irow = np.maximum(Mprev - go[pw], I[pw, i - 1]) - ge[pw]
+            I[pw, i, 1:] = Irow[1:]
+            np.maximum(Mrow[1:], Irow[1:], out=Mrow[1:])
+        # D has an in-row dependency; sweep it serially
+        Drow = D[:, i]
+        for j in range(1, m + 1):
+            dv = np.maximum(Mrow[j - 1] - go, Drow[:, j - 1]) - ge
+            Drow[:, j] = dv
+            best = dv.max()
+            if best > Mrow[j]:
+                Mrow[j] = best
+
+    score = int(M[n, m])
+    # traceback
+    pairs = []
+    i, j = n, m
+    comp = 0  # 0 = M, +pw+1 = I[pw], -(pw+1) = D[pw]
+    while i > 0 or j > 0:
+        if comp == 0:
+            v = M[i, j]
+            if i > 0 and j > 0 and v == M[i - 1, j - 1] + (
+                    params.match if s1[i - 1] == s2[j - 1]
+                    else -params.mismatch):
+                pairs.append((i - 1, j - 1))
+                i -= 1
+                j -= 1
+                continue
+            for pw in range(npw):
+                if i > 0 and v == I[pw, i, j]:
+                    comp = pw + 1
+                    break
+                if j > 0 and v == D[pw, i, j]:
+                    comp = -(pw + 1)
+                    break
+            assert comp != 0, "align_nw traceback failed"
+        elif comp > 0:
+            pw = comp - 1
+            pairs.append((i - 1, GAP))
+            if I[pw, i, j] == M[i - 1, j] - go[pw] - ge[pw]:
+                comp = 0
+            i -= 1
+        else:
+            pw = -comp - 1
+            pairs.append((GAP, j - 1))
+            if D[pw, i, j] == M[i, j - 1] - go[pw] - ge[pw]:
+                comp = 0
+            j -= 1
+    pairs.reverse()
+    return np.array(pairs, dtype=_I64).reshape(-1, 2), score
+
+
 def cigar(alignment: np.ndarray) -> str:
     """Run-length CIGAR with M/I/D ops (reference src/alignment.cpp:47)."""
     ops = np.where(

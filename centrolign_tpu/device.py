@@ -10,7 +10,9 @@ Controls:
  - ``CENTROLIGN_TPU_USE_DEVICE=0`` forces the native path (no probe).
  - ``CENTROLIGN_TPU_USE_DEVICE=1`` (default) probes, falls back on failure.
  - ``CENTROLIGN_TPU_USE_DEVICE=force`` skips the probe (trust the link).
- - ``CENTROLIGN_TPU_PROBE_TIMEOUT`` seconds (default 30).
+ - ``CENTROLIGN_TPU_PROBE_TIMEOUT`` seconds (default 150; first link +
+   runtime init on a cold shared tunnel has been measured at ~56 s, so the
+   timeout must sit well above worst-case init, not average).
 """
 
 from __future__ import annotations
@@ -38,11 +40,35 @@ def _probe() -> bool:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC],
             timeout=float(os.environ.get("CENTROLIGN_TPU_PROBE_TIMEOUT",
-                                         "45")),
+                                         "150")),
             capture_output=True)
         return r.returncode == 0
     except Exception:
         return False
+
+
+_async_thread: threading.Thread | None = None
+
+
+def start_probe_async() -> None:
+    """Kick the link probe off in a daemon thread so callers can overlap
+    link/runtime init (~1 min on a cold shared tunnel) with host-side work;
+    a later ``device_healthy()`` joins it instead of re-probing."""
+    global _async_thread
+    mode = os.environ.get("CENTROLIGN_TPU_USE_DEVICE", "1")
+    if mode in ("0", "force"):
+        return
+    with _lock:
+        if _async_thread is None and _healthy is None:
+            def run():
+                global _healthy
+                _healthy = _probe()
+                if not _healthy:
+                    from . import logging as log
+                    log.log(log.Basic,
+                            "Device link unavailable; using the native path.")
+            _async_thread = threading.Thread(target=run, daemon=True)
+            _async_thread.start()
 
 
 def device_healthy() -> bool:
@@ -53,6 +79,8 @@ def device_healthy() -> bool:
         return False
     if mode == "force":
         return True
+    if _async_thread is not None and _healthy is None:
+        _async_thread.join()
     with _lock:
         if _healthy is None:
             _healthy = _probe()

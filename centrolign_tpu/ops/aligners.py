@@ -42,7 +42,8 @@ def shortest_path(graph, node_ids1, node_ids2) -> np.ndarray:
     path = [end]
     while dp[path[-1]] != 0:
         for p in prev_ind[prev_ptr[path[-1]]:prev_ptr[path[-1] + 1]]:
-            if dp[p] + 1 == dp[path[-1]]:
+            # the _INTMAX sentinel would wrap under the +1
+            if dp[p] != _INTMAX and dp[p] + 1 == dp[path[-1]]:
                 path.append(int(p))
                 break
     path.reverse()

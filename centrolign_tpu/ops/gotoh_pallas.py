@@ -405,47 +405,88 @@ def _traceback_batch_on_device(bp, score, V1, V2, lane_is_i: bool, npw: int,
     return jax.vmap(fn)(bp, score, V1, V2)
 
 
-def gotoh_align_pallas_batched(jobs, params):
-    """jobs: list of (seq1 int32[], seq2 int32[], swap_pref bool). Returns a
-    list of (alignment (L,2) int64, score int) — identical per-job results to
-    gotoh_align_pallas_device_tb, but grouped into a handful of launches."""
+def _job_bucket(job):
+    """Compile-bucket key for one (s1, s2, swap_pref, params) job."""
+    s1, s2, swp, p = job
+    V1, V2 = len(s1), len(s2)
+    lane_is_i = V1 <= V2
+    W = _pow2_bucket((V1 if lane_is_i else V2) + 1, 128)
+    num_diags = _pow2_bucket(V1 + V2 + 1, CHUNK * 2)
+    return (W, num_diags, lane_is_i, bool(swp), p.num_pw)
+
+
+def gotoh_dispatch(bucket, jobs):
+    """Launch fill + on-device traceback for one bucket group of jobs
+    (same compile bucket) WITHOUT waiting: jax dispatch is asynchronous, so
+    this returns a device-array handle immediately and the chip crunches
+    while the host goes on aligning small gaps natively. `gotoh_fetch`
+    blocks on the handle and unpacks per-job results."""
     from .gotoh import _build_skew_inputs
 
-    npw = params.num_pw
+    (W, num_diags, lane_is_i, swp, npw) = bucket
+    B = _pow2_bucket(len(jobs), 1)
+    a_all = np.empty((B, W), np.int32)
+    b_all = np.empty((B, 2 * W + num_diags + 128), np.int32)
+    scal = np.empty((B, 4 + 2 * npw), np.int32)
+    V1s = np.empty(B, np.int32)
+    V2s = np.empty(B, np.int32)
+    for k in range(B):
+        s1, s2, _, p = jobs[min(k, len(jobs) - 1)]
+        s1 = np.asarray(s1, dtype=np.int32)
+        s2 = np.asarray(s2, dtype=np.int32)
+        a_all[k], b_all[k] = _build_skew_inputs(
+            s1, s2, lane_is_i, W, num_diags + 128)
+        scal[k] = [len(s1), len(s2), p.match, p.mismatch,
+                   *p.gap_open, *p.gap_extend]
+        V1s[k], V2s[k] = len(s1), len(s2)
+    bp, score = gotoh_fill_pallas_batch(
+        jnp.asarray(scal), jnp.asarray(a_all), jnp.asarray(b_all),
+        num_diags, W, lane_is_i, npw, swp)
+    packed = _traceback_batch_on_device(
+        bp, score, jnp.asarray(V1s), jnp.asarray(V2s),
+        lane_is_i, npw, num_diags)
+    return packed, len(jobs)
+
+
+def gotoh_fetch(handle):
+    """Block on a `gotoh_dispatch` handle; returns the per-job list of
+    (alignment (L,2) int64, score int)."""
+    packed, n = handle
+    packed = np.asarray(jax.device_get(packed), dtype=np.int64)
+    results = []
+    for k in range(n):
+        row = packed[k]
+        count, sc = int(row[0, 0]), int(row[0, 1])
+        results.append((row[len(row) - count:], sc))
+    return results
+
+
+def gotoh_align_pallas_batched(jobs):
+    """jobs: list of (seq1 int32[], seq2 int32[], swap_pref bool, params).
+    Returns a list of (alignment (L,2) int64, score int) — identical per-job
+    results to gotoh_align_pallas_device_tb, but grouped into a handful of
+    launches. Jobs are grouped by (shape bucket, num_pw), so gaps with
+    truncated piecewise-affine parameters batch alongside full-parameter
+    ones instead of falling off the chain kernel.
+
+    On non-TPU backends (CPU tests / the virtual mesh) the Pallas fill is
+    replaced by the bit-identical lax.scan fill (ops.gotoh), so the whole
+    device dispatch path is exercisable without a chip."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        from .gotoh import gotoh_align
+        return [gotoh_align(s1, s2, p, swap_pref=swp)
+                for s1, s2, swp, p in jobs]
+
     groups = {}
-    for slot, (s1, s2, swp) in enumerate(jobs):
-        V1, V2 = len(s1), len(s2)
-        lane_is_i = V1 <= V2
-        W = _pow2_bucket((V1 if lane_is_i else V2) + 1, 128)
-        num_diags = _pow2_bucket(V1 + V2 + 1, CHUNK * 2)
-        groups.setdefault((W, num_diags, lane_is_i, bool(swp)), []).append(slot)
+    for slot, job in enumerate(jobs):
+        groups.setdefault(_job_bucket(job), []).append(slot)
 
     results = [None] * len(jobs)
-    for (W, num_diags, lane_is_i, swp), slots in groups.items():
-        B = _pow2_bucket(len(slots), 1)
-        a_all = np.empty((B, W), np.int32)
-        b_all = np.empty((B, 2 * W + num_diags + 128), np.int32)
-        scal = np.empty((B, 4 + 2 * npw), np.int32)
-        V1s = np.empty(B, np.int32)
-        V2s = np.empty(B, np.int32)
-        for k in range(B):
-            s1, s2, _ = jobs[slots[min(k, len(slots) - 1)]]
-            s1 = np.asarray(s1, dtype=np.int32)
-            s2 = np.asarray(s2, dtype=np.int32)
-            a_all[k], b_all[k] = _build_skew_inputs(
-                s1, s2, lane_is_i, W, num_diags + 128)
-            scal[k] = [len(s1), len(s2), params.match, params.mismatch,
-                       *params.gap_open, *params.gap_extend]
-            V1s[k], V2s[k] = len(s1), len(s2)
-        bp, score = gotoh_fill_pallas_batch(
-            jnp.asarray(scal), jnp.asarray(a_all), jnp.asarray(b_all),
-            num_diags, W, lane_is_i, npw, swp)
-        packed = _traceback_batch_on_device(
-            bp, score, jnp.asarray(V1s), jnp.asarray(V2s),
-            lane_is_i, npw, num_diags)
-        packed = np.asarray(jax.device_get(packed), dtype=np.int64)
-        for k, slot in enumerate(slots):
-            row = packed[k]
-            count, sc = int(row[0, 0]), int(row[0, 1])
-            results[slot] = (row[len(row) - count:], sc)
+    # dispatch every bucket before fetching any: the chip pipelines the
+    # launches while the host builds the next bucket's arrays
+    handles = [(slots, gotoh_dispatch(bucket, [jobs[s] for s in slots]))
+               for bucket, slots in groups.items()]
+    for slots, handle in handles:
+        for slot, res in zip(slots, gotoh_fetch(handle)):
+            results[slot] = res
     return results

@@ -12,6 +12,17 @@ Axes of parallelism exploited by this package:
   (reference executes them serially, src/execution.cpp:83-124).
 """
 
-from .sharded_gotoh import (sharded_gotoh_scores, sharded_gotoh_align,
-                            make_alignment_mesh)  # noqa: F401
 from .scheduler import distributed_execute  # noqa: F401
+
+_SHARDED = ("sharded_gotoh_scores", "sharded_gotoh_align",
+            "make_alignment_mesh")
+
+
+def __getattr__(name):
+    # The sharded-DP module imports jax; importing it eagerly would tax every
+    # CLI run (including --hosts runs with the device disabled) with jax
+    # import time. Resolve those names on first use instead.
+    if name in _SHARDED:
+        from . import sharded_gotoh
+        return getattr(sharded_gotoh, name)
+    raise AttributeError(name)

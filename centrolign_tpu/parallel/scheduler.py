@@ -83,8 +83,10 @@ def distributed_execute(core, n_hosts: int) -> None:
     ex = core.main_execution
     tree = ex.tree
     ctx = mp.get_context("spawn")
+    # -S needs every computed graph alive for the deferred emit loop below
     keep_graphs = bool(core.preserve_subproblems
                        or core.subalignments_filepath
+                       or core.subproblems_prefix
                        or len(ex.execution_order) == 1)
 
     with ProcessPoolExecutor(max_workers=n_hosts, mp_context=ctx) as pool:

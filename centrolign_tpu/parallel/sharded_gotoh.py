@@ -28,7 +28,12 @@ from jax import shard_map
 
 from ..ops.align_params import MININF
 
-_NEG = jnp.int32(MININF)
+# NOTE: module-level code must not build jax values: creating even a scalar
+# initializes the backend client, and on a machine with an accelerator
+# plugin that can mean ~a minute of link init (or a hang on a dead tunnel)
+# just for importing this module. Keep _NEG a plain int; jnp.int32(...) is
+# applied inside traced functions where a backend is genuinely needed.
+_NEG = np.int32(MININF)
 
 
 def make_alignment_mesh(n_devices: int | None = None,

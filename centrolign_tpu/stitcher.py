@@ -42,9 +42,11 @@ _I64 = np.int64
 
 @dataclass
 class _Pending:
-    """Placeholder for a device-batched gap alignment: `job` feeds the
-    batched Pallas kernel, `finish` maps its raw lane-space alignment back
+    """Placeholder for a device-batched gap alignment: `kind` selects the
+    kernel ("chain" -> batched Pallas Gotoh, "dag" -> topological-wavefront
+    kernel), `job` feeds it, `finish` maps its raw lane-space alignment back
     into parent-graph coordinates."""
+    kind: str
     job: tuple
     finish: object
 
@@ -104,6 +106,10 @@ class Stitcher:
         import os
         if os.environ.get("CENTROLIGN_TPU_USE_DEVICE", "1") == "0":
             self.use_device = False
+        mc = os.environ.get("CENTROLIGN_TPU_DEVICE_MIN_CELLS")
+        if mc is not None:
+            self.device_min_cells = int(mc)
+        self._begin_dispatch()
 
     def _device_ok(self) -> bool:
         """Probe the chip link once per process; a dead tunnel degrades to
@@ -115,8 +121,16 @@ class Stitcher:
             self.use_device = False
         return self.use_device
 
+    # Dispatch policy for overlapped device batches: a bucket's accumulated
+    # jobs launch as soon as it holds this many (or one job this large in
+    # DP cells), so the chip fills big gaps while the host keeps aligning
+    # small gaps natively. Leftovers launch at flush.
+    dispatch_batch: int = 8
+    dispatch_big_cells: int = 2_000_000
+
     def stitch(self, anchor_segments, graph1, graph2, tableau1, tableau2,
                xmerge1, xmerge2) -> np.ndarray:
+        self._begin_dispatch()
         within, between = extract_graphs_between_segments(
             anchor_segments, graph1, graph2, tableau1, tableau2,
             xmerge1, xmerge2)
@@ -139,28 +153,85 @@ class Stitcher:
             return np.concatenate(stitched, axis=0)
         return np.empty((0, 2), dtype=_I64)
 
+    def _begin_dispatch(self) -> None:
+        """Reset the overlapped-dispatch state for one stitch call."""
+        self._accum: dict = {}      # bucket -> [_Pending, ...]
+        self._handles: list = []    # [( [_Pending, ...], device handle )]
+        self._dispatch_t = 0.0
+
+    def _register_pending(self, pending: _Pending) -> None:
+        """Queue a chain device job; launch its bucket asynchronously once
+        enough work has accumulated (jax dispatch returns immediately, so
+        the chip overlaps with subsequent host-side native alignments)."""
+        if pending.kind != "chain":
+            return
+        import jax
+        if jax.default_backend() not in ("tpu", "axon"):
+            return  # CPU fallback path batches synchronously at flush
+        from .ops.gotoh_pallas import _job_bucket
+        bucket = _job_bucket(pending.job)
+        lst = self._accum.setdefault(bucket, [])
+        lst.append(pending)
+        s1, s2 = pending.job[0], pending.job[1]
+        big = (len(s1) + 1) * (len(s2) + 1) >= self.dispatch_big_cells
+        if len(lst) >= self.dispatch_batch or big:
+            self._dispatch_bucket(bucket)
+
+    def _dispatch_bucket(self, bucket) -> None:
+        from . import metrics
+        from .ops.gotoh_pallas import gotoh_dispatch
+        lst = self._accum.pop(bucket, [])
+        if not lst:
+            return
+        t0 = metrics.timer()
+        handle = gotoh_dispatch(bucket, [p.job for p in lst])
+        self._dispatch_t += metrics.timer() - t0
+        self._handles.append((lst, handle))
+
     def _flush_pending(self, stitched: list) -> None:
-        """Run all queued device gap alignments as grouped batched launches
-        (the chip link is latency-bound: ~25ms/round-trip)."""
+        """Complete all queued device gap alignments: launch the leftover
+        buckets, then collect every in-flight batch (the bulk of the fill
+        time has already overlapped with the host's native alignments)."""
         from . import metrics
         chain_slots = [k for k, x in enumerate(stitched)
-                       if isinstance(x, _Pending) and x.job[0] != "dag"]
+                       if isinstance(x, _Pending) and x.kind == "chain"]
         dag_slots = [k for k, x in enumerate(stitched)
-                     if isinstance(x, _Pending) and x.job[0] == "dag"]
-        if chain_slots:
+                     if isinstance(x, _Pending) and x.kind == "dag"]
+        if self._handles or self._accum:
+            from .ops.gotoh_pallas import gotoh_fetch
+            t0 = metrics.timer()
+            for bucket in list(self._accum):
+                self._dispatch_bucket(bucket)
+            by_id = {}
+            for lst, handle in self._handles:
+                for p, res in zip(lst, gotoh_fetch(handle)):
+                    by_id[id(p)] = res
+            cells = 0
+            for k in chain_slots:
+                aln, _score = by_id[id(stitched[k])]
+                s1, s2 = stitched[k].job[0], stitched[k].job[1]
+                cells += (len(s1) + 1) * (len(s2) + 1)
+                stitched[k] = stitched[k].finish(aln)
+            metrics.record(
+                "pod", cells,
+                self._dispatch_t + metrics.timer() - t0,
+                f"batches={len(self._handles)} overlap")
+            self._handles = []
+        elif chain_slots:
+            # synchronous fallback (CPU-jax backends: tests, virtual mesh)
             from .ops.gotoh_pallas import gotoh_align_pallas_batched
             jobs = [stitched[k].job for k in chain_slots]
             t0 = metrics.timer()
-            results = gotoh_align_pallas_batched(jobs, self.alignment_params)
+            results = gotoh_align_pallas_batched(jobs)
             cells = sum((len(s1) + 1) * (len(s2) + 1)
-                        for s1, s2, _sw in jobs)
+                        for s1, s2, _sw, _p in jobs)
             metrics.record("pod", cells, metrics.timer() - t0,
                            f"batch={len(jobs)}")
             for k, (aln, _score) in zip(chain_slots, results):
                 stitched[k] = stitched[k].finish(aln)
         if dag_slots:
             from .ops.popoa_dag import popoa_dag_batch
-            jobs = [stitched[k].job[1] for k in dag_slots]
+            jobs = [stitched[k].job[0] for k in dag_slots]
             t0 = metrics.timer()
             results = popoa_dag_batch(jobs)
             cells = sum((j.t1.V + 1) * (j.t2.V + 1) for j in jobs)
@@ -170,8 +241,7 @@ class Stitcher:
                 if got is None:
                     # rare: no interior alignment through the kernel's
                     # matrix; rerun this gap on the native engine
-                    job = stitched[k].job
-                    aln, _ = popoa_native(*job[2])
+                    aln, _ = popoa_native(*stitched[k].job[1])
                 else:
                     aln = got[0]
                 stitched[k] = stitched[k].finish(aln)
@@ -182,6 +252,7 @@ class Stitcher:
         order is anchor0, anchor1, gap01, anchor2, gap12, ...; internal_fuse
         only consumes aligned pairs, so the order is immaterial, but we
         replicate it."""
+        self._begin_dispatch()
         stitch_graphs = extract_graphs_between(
             anchor_chain, graph, graph, None, None, xmerge, xmerge)
         stitched = []
@@ -217,8 +288,10 @@ class Stitcher:
         back1, back2 = ex1.back_translation, ex2.back_translation
         if isinstance(aln, _Pending):
             inner = aln.finish
-            aln = _Pending(aln.job, lambda a, inner=inner, b1=back1, b2=back2:
+            aln = _Pending(aln.kind, aln.job,
+                           lambda a, inner=inner, b1=back1, b2=back2:
                            translate_alignment(inner(a), b1, b2))
+            self._register_pending(aln)
         else:
             aln = translate_alignment(aln, back1, back2)
         stitched.append(aln)
@@ -286,7 +359,6 @@ class Stitcher:
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
         if (self.use_device and V1 * V2 >= self.device_min_cells
                 and _is_chain(ex1) and _is_chain(ex2)
-                and params.num_pw == self.alignment_params.num_pw
                 and self._device_ok()):
             order1 = _chain_order(ex1)
             order2 = _chain_order(ex2)
@@ -303,7 +375,11 @@ class Stitcher:
                 out[m2, 1] = order2[out[m2, 1]]
                 return out
 
-            return _Pending(job=(s1, s2, swapped), finish=finish)
+            # truncated gap parameters ride along: the batched kernel groups
+            # jobs by num_pw, so every chain x chain gap (not just the
+            # full-parameter ones) runs on the device kernel
+            return _Pending(kind="chain", job=(s1, s2, swapped, params),
+                            finish=finish)
         from . import metrics
         if (self.use_device and V1 * V2 >= self.device_min_cells
                 and self._device_ok()):
@@ -318,7 +394,7 @@ class Stitcher:
                 job.prepare()
                 native_args = (ex1.subgraph, ex2.subgraph, ex1.sources,
                                ex2.sources, ex1.sinks, ex2.sinks, params)
-                return _Pending(job=("dag", job, native_args),
+                return _Pending(kind="dag", job=(job, native_args),
                                 finish=lambda aln: aln)
         t0 = metrics.timer()
         aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,

@@ -37,7 +37,17 @@ def format_memory_usage(mem: int) -> str:
 
 
 def hbm_usage() -> int:
-    """Bytes in use on the first accelerator device, or -1."""
+    """Bytes in use on the first accelerator device, or -1.
+
+    Only queried once jax is already initialized in this process AND the
+    device-probe guard has not ruled the link out: a cold jax call on a dead
+    link can block forever, and the subprocess probe in device.py exists
+    precisely so the pipeline never makes that first call blind."""
+    import sys
+    if "jax" not in sys.modules:
+        return -1
+    if os.environ.get("CENTROLIGN_TPU_USE_DEVICE", "1") == "0":
+        return -1
     try:
         import jax
         stats = jax.local_devices()[0].memory_stats()

@@ -2,18 +2,33 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
 # without TPU hardware (the driver separately dry-runs the multi-chip path).
+# The CPU backend is forced PRIMARY even when the ambient environment selects
+# an accelerator platform (e.g. JAX_PLATFORMS=axon): a dead/slow chip tunnel
+# would otherwise block every jax call in the suite for minutes. Set
+# CENTROLIGN_TPU_TEST_DEVICE=1 to keep the ambient platform first instead.
 _plat = os.environ.get("JAX_PLATFORMS", "")
-if not _plat:
+if os.environ.get("CENTROLIGN_TPU_TEST_DEVICE") == "1" and _plat:
+    if "cpu" not in _plat.split(","):
+        os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+else:
     os.environ["JAX_PLATFORMS"] = "cpu"
-elif "cpu" not in _plat.split(","):
-    # keep the configured platform primary, but make the 8-device virtual
-    # CPU mesh available for the sharding tests
-    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The interpreter's sitecustomize may import jax BEFORE this file runs, in
+# which case jax has already captured the ambient JAX_PLATFORMS (e.g. the
+# chip tunnel) and the os.environ writes above are silently ignored for
+# this process. Push the choice through jax.config so it sticks; the env
+# vars above still cover the cli/worker subprocesses the suite spawns.
+import sys
+
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import subprocess
 
