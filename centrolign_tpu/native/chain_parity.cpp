@@ -29,6 +29,7 @@ namespace {
 
 using i64 = int64_t;
 using u64 = uint64_t;
+using u32 = uint32_t;
 using f32 = float;
 
 constexpr f32 MININF = std::numeric_limits<f32>::lowest();
@@ -231,7 +232,7 @@ template <typename K, typename V>
 struct MaxTreeP {
     std::vector<K> key;
     std::vector<V> value;
-    std::vector<i64> submax;
+    std::vector<u32> submax;  // tree sizes are < 2^32 by construction
 
     static inline i64 left(i64 x) { return 2 * x + 1; }
     static inline i64 right(i64 x) { return 2 * x + 2; }
@@ -260,7 +261,7 @@ struct MaxTreeP {
             } else {
                 key[top.first] = data[vec_idx].first;
                 value[top.first] = data[vec_idx].second;
-                submax[top.first] = top.first;
+                submax[top.first] = (u32)top.first;
                 ++vec_idx;
                 i64 r = right(top.first);
                 stack.pop_back();
@@ -287,22 +288,22 @@ struct MaxTreeP {
         i64 l = left(x), r = right(x);
         if (l < size() && value[submax[l]] > value[nm]) nm = submax[l];
         if (r < size() && value[submax[r]] > value[nm]) nm = submax[r];
-        submax[x] = nm;
+        submax[x] = (u32)nm;
     }
 
     void update(i64 i, const V& nv) {
         if (nv > value[submax[i]]) {
-            submax[i] = i;
+            submax[i] = (u32)i;
             i64 here = i;
             while (here != 0) {
                 here = parent(here);
-                if (nv > value[submax[here]]) submax[here] = i;
+                if (nv > value[submax[here]]) submax[here] = (u32)i;
                 else break;
             }
             value[i] = nv;
         } else {
             value[i] = nv;
-            if (submax[i] == i) {
+            if (submax[i] == (u32)i) {
                 reidentify(i);
                 i64 here = i;
                 while (here != 0) {
@@ -358,10 +359,20 @@ struct MaxTreeP {
 
 template <typename K, int NCH>
 struct MultiMaxTreeP {
+    // Value semantics are the reference's (f32 value, i64 outer-index)
+    // pairs compared lexicographically — but the outer index of a tree
+    // position NEVER changes after build (updates always re-install the
+    // same index), so it is stored once (`ident`, u32) instead of once per
+    // channel, and per-channel storage is a bare f32 + u32 submax. This
+    // shrinks a hot entry from 160 B to ~60 B; every comparison below
+    // reproduces the (value, index) lexicographic order exactly.
     using CrossVal = std::pair<f32, i64>;
     std::vector<K> key;
-    std::array<std::vector<CrossVal>, NCH> value;
-    std::array<std::vector<i64>, NCH> submax;
+    std::vector<u32> ident;
+    std::array<std::vector<f32>, NCH> val_ch;
+    std::array<std::vector<u32>, NCH> sm_ch;
+
+    inline f32 value_at(int c, i64 i) const { return val_ch[c][i]; }
 
     static inline i64 left(i64 x) { return 2 * x + 1; }
     static inline i64 right(i64 x) { return 2 * x + 2; }
@@ -369,11 +380,23 @@ struct MultiMaxTreeP {
     inline i64 size() const { return (i64)key.size(); }
     inline bool empty() const { return key.empty(); }
 
+    // (value[c][a], ident[a]) > (value[c][b], ident[b]) lexicographically
+    inline bool gtr(int c, i64 a, i64 b) const {
+        f32 va = val_ch[c][a], vb = val_ch[c][b];
+        return va > vb || (va == vb && ident[a] > ident[b]);
+    }
+    // (v, id) > (value[c][b], ident[b])
+    inline bool gtr_vi(int c, f32 v, u32 id, i64 b) const {
+        f32 vb = val_ch[c][b];
+        return v > vb || (v == vb && id > ident[b]);
+    }
+
     void build(std::vector<std::pair<K, CrossVal>>& data) {
         key.resize(data.size());
+        ident.resize(data.size());
         for (int c = 0; c < NCH; ++c) {
-            value[c].resize(data.size());
-            submax[c].resize(data.size());
+            val_ch[c].resize(data.size());
+            sm_ch[c].resize(data.size());
         }
         if (data.empty()) return;
         std::stable_sort(data.begin(), data.end(),
@@ -392,9 +415,10 @@ struct MultiMaxTreeP {
                 if (l < size()) stack.emplace_back(l, false);
             } else {
                 key[top.first] = data[vec_idx].first;
+                ident[top.first] = (u32)data[vec_idx].second.second;
                 for (int c = 0; c < NCH; ++c) {
-                    value[c][top.first] = data[vec_idx].second;
-                    submax[c][top.first] = top.first;
+                    val_ch[c][top.first] = data[vec_idx].second.first;
+                    sm_ch[c][top.first] = (u32)top.first;
                 }
                 ++vec_idx;
                 i64 r = right(top.first);
@@ -405,8 +429,8 @@ struct MultiMaxTreeP {
         for (i64 i = size() - 1; i > 0; --i) {
             i64 par = parent(i);
             for (int c = 0; c < NCH; ++c) {
-                if (value[c][submax[c][i]] > value[c][submax[c][par]])
-                    submax[c][par] = submax[c][i];
+                if (gtr(c, sm_ch[c][i], sm_ch[c][par]))
+                    sm_ch[c][par] = sm_ch[c][i];
             }
         }
     }
@@ -414,31 +438,31 @@ struct MultiMaxTreeP {
     void reidentify(int c, i64 x) {
         i64 nm = x;
         i64 l = left(x), r = right(x);
-        if (l < size() && value[c][submax[c][l]] > value[c][nm]) nm = submax[c][l];
-        if (r < size() && value[c][submax[c][r]] > value[c][nm]) nm = submax[c][r];
-        submax[c][x] = nm;
+        if (l < size() && gtr(c, sm_ch[c][l], nm)) nm = sm_ch[c][l];
+        if (r < size() && gtr(c, sm_ch[c][r], nm)) nm = sm_ch[c][r];
+        sm_ch[c][x] = (u32)nm;
     }
 
     void update(int c, i64 i, const CrossVal& nv) {
-        auto& val = value[c];
-        auto& sm = submax[c];
-        if (nv > val[sm[i]]) {
-            sm[i] = i;
+        f32 v = nv.first;
+        u32 id = (u32)nv.second;
+        if (gtr_vi(c, v, id, sm_ch[c][i])) {
+            sm_ch[c][i] = (u32)i;
             i64 here = i;
             while (here != 0) {
                 here = parent(here);
-                if (nv > val[sm[here]]) sm[here] = i;
+                if (gtr_vi(c, v, id, sm_ch[c][here])) sm_ch[c][here] = (u32)i;
                 else break;
             }
-            val[i] = nv;
+            val_ch[c][i] = v;
         } else {
-            val[i] = nv;
-            if (sm[i] == i) {
+            val_ch[c][i] = v;
+            if (sm_ch[c][i] == (u32)i) {
                 reidentify(c, i);
                 i64 here = i;
                 while (here != 0) {
                     here = parent(here);
-                    if (sm[here] != i) break;
+                    if (sm_ch[c][here] != (u32)i) break;
                     reidentify(c, here);
                 }
             }
@@ -446,8 +470,6 @@ struct MultiMaxTreeP {
     }
 
     i64 range_max(int c, const K& lo, const K& hi) const {
-        const auto& val = value[c];
-        const auto& sm = submax[c];
         i64 cursor = 0;
         while (cursor < size() && (key[cursor] < lo || key[cursor] >= hi)) {
             cursor = (key[cursor] >= lo) ? left(cursor) : right(cursor);
@@ -457,9 +479,10 @@ struct MultiMaxTreeP {
         i64 rc = right(cursor), lc = left(cursor);
         while (lc < size()) {
             if (key[lc] >= lo) {
-                if (val[lc] > val[max_idx]) max_idx = lc;
+                if (gtr(c, lc, max_idx)) max_idx = lc;
                 i64 r = right(lc);
-                if (r < size() && val[sm[r]] > val[max_idx]) max_idx = sm[r];
+                if (r < size() && gtr(c, sm_ch[c][r], max_idx))
+                    max_idx = sm_ch[c][r];
                 lc = left(lc);
             } else {
                 lc = right(lc);
@@ -467,15 +490,72 @@ struct MultiMaxTreeP {
         }
         while (rc < size()) {
             if (key[rc] < hi) {
-                if (val[rc] > val[max_idx]) max_idx = rc;
+                if (gtr(c, rc, max_idx)) max_idx = rc;
                 i64 l = left(rc);
-                if (l < size() && val[sm[l]] > val[max_idx]) max_idx = sm[l];
+                if (l < size() && gtr(c, sm_ch[c][l], max_idx))
+                    max_idx = sm_ch[c][l];
                 rc = right(rc);
             } else {
                 rc = left(rc);
             }
         }
         return max_idx;
+    }
+
+    // Batched variant: one traversal answers `m` channels at once. The
+    // walk depends only on keys (shared by every channel), and each
+    // channel performs exactly the comparison sequence of its
+    // single-channel range_max — including the lexicographic CrossVal
+    // tie-breaking — so per-channel results are identical, at ~1/m of
+    // the pointer-chasing.
+    void range_max_multi(int m, const int* chans, const K& lo, const K& hi,
+                         i64* out) const {
+        i64 cursor = 0;
+        while (cursor < size() && (key[cursor] < lo || key[cursor] >= hi)) {
+            cursor = (key[cursor] >= lo) ? left(cursor) : right(cursor);
+        }
+        if (cursor >= size()) {
+            for (int k = 0; k < m; ++k) out[k] = size();
+            return;
+        }
+        i64 max_idx[8];
+        for (int k = 0; k < m; ++k) max_idx[k] = cursor;
+        i64 rc = right(cursor), lc = left(cursor);
+        while (lc < size()) {
+            if (key[lc] >= lo) {
+                for (int k = 0; k < m; ++k) {
+                    if (gtr(chans[k], lc, max_idx[k])) max_idx[k] = lc;
+                }
+                i64 r = right(lc);
+                if (r < size()) {
+                    for (int k = 0; k < m; ++k) {
+                        i64 smr = sm_ch[chans[k]][r];
+                        if (gtr(chans[k], smr, max_idx[k])) max_idx[k] = smr;
+                    }
+                }
+                lc = left(lc);
+            } else {
+                lc = right(lc);
+            }
+        }
+        while (rc < size()) {
+            if (key[rc] < hi) {
+                for (int k = 0; k < m; ++k) {
+                    if (gtr(chans[k], rc, max_idx[k])) max_idx[k] = rc;
+                }
+                i64 l = left(rc);
+                if (l < size()) {
+                    for (int k = 0; k < m; ++k) {
+                        i64 sml = sm_ch[chans[k]][l];
+                        if (gtr(chans[k], sml, max_idx[k])) max_idx[k] = sml;
+                    }
+                }
+                rc = right(rc);
+            } else {
+                rc = left(rc);
+            }
+        }
+        for (int k = 0; k < m; ++k) out[k] = max_idx[k];
     }
 };
 
@@ -733,7 +813,11 @@ struct MultiOrthoTreeP {
     std::vector<K2> key2;
     std::array<std::vector<f32>, NCH> value;
     std::vector<MultiMaxTreeP<K2, NCH>> cross;
+    // per outer node, its (ancestor cross tree, position) memberships —
+    // built as nested vectors, flattened to CSR after build (the update
+    // walk is hot; the flat layout avoids a pointer chase per node)
     std::vector<std::vector<std::pair<i64, i64>>> cross_pos;
+    std::vector<u32> cp_ptr, cp_anc, cp_pos;
 
     static inline i64 left(i64 x) { return 2 * x + 1; }
     static inline i64 right(i64 x) { return 2 * x + 2; }
@@ -809,7 +893,7 @@ struct MultiOrthoTreeP {
             if (make_cross[nno]) {
                 cross[nno].build(cvals);
                 for (i64 pos = 0; pos < cross[nno].size(); ++pos) {
-                    cross_pos[cross[nno].value[0][pos].second].emplace_back(
+                    cross_pos[cross[nno].ident[pos]].emplace_back(
                         nno, pos);
                 }
             }
@@ -820,6 +904,20 @@ struct MultiOrthoTreeP {
                 if (r < n) stack.push_back({r, std::move(rv), std::move(ri)});
             }
         }
+        // flatten memberships to CSR and free the nested vectors
+        cp_ptr.assign(n + 1, 0);
+        for (i64 i = 0; i < n; ++i) cp_ptr[i + 1] = cp_ptr[i] + (u32)cross_pos[i].size();
+        cp_anc.resize(cp_ptr[n]);
+        cp_pos.resize(cp_ptr[n]);
+        for (i64 i = 0; i < n; ++i) {
+            u32 base = cp_ptr[i];
+            for (size_t t = 0; t < cross_pos[i].size(); ++t) {
+                cp_anc[base + t] = (u32)cross_pos[i][t].first;
+                cp_pos[base + t] = (u32)cross_pos[i][t].second;
+            }
+        }
+        cross_pos.clear();
+        cross_pos.shrink_to_fit();
     }
 
     i64 find(const K1& k1, const K2& k2) const {
@@ -837,8 +935,8 @@ struct MultiOrthoTreeP {
 
     void update(int c, i64 i, f32 nv) {
         value[c][i] = nv;
-        for (const auto& ap : cross_pos[i]) {
-            cross[ap.first].update(c, ap.second, CrossVal(nv, i));
+        for (u32 t = cp_ptr[i]; t < cp_ptr[i + 1]; ++t) {
+            cross[cp_anc[t]].update(c, cp_pos[t], CrossVal(nv, i));
         }
     }
 
@@ -860,7 +958,7 @@ struct MultiOrthoTreeP {
         }
         auto cur_val = [&]() -> f32 {
             return max_at_idx ? val[max_idx]
-                              : max_tree->value[ch][max_iter].first;
+                              : max_tree->value_at(ch, max_iter);
         };
         i64 rc = right(cursor), lc = left(cursor);
         while (lc < size()) {
@@ -878,7 +976,7 @@ struct MultiOrthoTreeP {
                 if (r < size() && !cross[r].empty()) {
                     i64 it = cross[r].range_max(ch, lo2, hi2);
                     if (it != cross[r].size()) {
-                        f32 v = cross[r].value[ch][it].first;
+                        f32 v = cross[r].value_at(ch, it);
                         bool better = (!max_at_idx && !max_at_iter) ||
                                       v > cur_val();
                         if (better) {
@@ -909,7 +1007,7 @@ struct MultiOrthoTreeP {
                 if (l < size() && !cross[l].empty()) {
                     i64 it = cross[l].range_max(ch, lo2, hi2);
                     if (it != cross[l].size()) {
-                        f32 v = cross[l].value[ch][it].first;
+                        f32 v = cross[l].value_at(ch, it);
                         bool better = (!max_at_idx && !max_at_iter) ||
                                       v > cur_val();
                         if (better) {
@@ -930,10 +1028,120 @@ struct MultiOrthoTreeP {
             return true;
         }
         if (max_at_iter) {
-            *out_idx = max_tree->value[ch][max_iter].second;
+            *out_idx = max_tree->ident[max_iter];
             return true;
         }
         return false;
+    }
+
+    // Batched variant of range_max over `m` channels sharing one (key1,
+    // key2) rectangle: the outer walk and the inner cross-tree walks are
+    // key-only (identical across channels), so they run once; each channel
+    // replays exactly its single-channel comparison sequence against the
+    // shared visit order, yielding bit-identical winners per channel.
+    // found[k]/out_idx[k] mirror the single-channel return/out parameter.
+    void range_max_multi(int m, const int* chans, const K1& lo1,
+                         const K1& hi1, const K2& lo2, const K2& hi2,
+                         bool* found, i64* out_idx) const {
+        i64 cursor = 0;
+        while (cursor < size() && (key1[cursor] < lo1 || key1[cursor] >= hi1)) {
+            cursor = (key1[cursor] >= hi1) ? left(cursor) : right(cursor);
+        }
+        if (cursor >= size()) {
+            for (int k = 0; k < m; ++k) found[k] = false;
+            return;
+        }
+        bool at_idx[8] = {false}, at_iter[8] = {false};
+        i64 max_idx[8];
+        const MultiMaxTreeP<K2, NCH>* max_tree[8];
+        i64 max_iter[8];
+        i64 its[8];
+        if (key2[cursor] >= lo2 && key2[cursor] < hi2) {
+            for (int k = 0; k < m; ++k) {
+                at_idx[k] = true;
+                max_idx[k] = cursor;
+            }
+        }
+        auto consider_node = [&](i64 node) {
+            if (key2[node] >= lo2 && key2[node] < hi2) {
+                for (int k = 0; k < m; ++k) {
+                    f32 v = value[chans[k]][node];
+                    bool better = (!at_idx[k] && !at_iter[k]) ||
+                                  v > (at_idx[k]
+                                       ? value[chans[k]][max_idx[k]]
+                                       : max_tree[k]->value_at(
+                                             chans[k], max_iter[k]));
+                    if (better) {
+                        max_idx[k] = node;
+                        at_idx[k] = true;
+                        at_iter[k] = false;
+                    }
+                }
+            }
+        };
+        auto consider_cross = [&](i64 sub) {
+            if (sub < size() && !cross[sub].empty()) {
+                cross[sub].range_max_multi(m, chans, lo2, hi2, its);
+                for (int k = 0; k < m; ++k) {
+                    if (its[k] == cross[sub].size()) continue;
+                    f32 v = cross[sub].value_at(chans[k], its[k]);
+                    bool better = (!at_idx[k] && !at_iter[k]) ||
+                                  v > (at_idx[k]
+                                       ? value[chans[k]][max_idx[k]]
+                                       : max_tree[k]->value_at(
+                                             chans[k], max_iter[k]));
+                    if (better) {
+                        max_tree[k] = &cross[sub];
+                        max_iter[k] = its[k];
+                        at_idx[k] = false;
+                        at_iter[k] = true;
+                    }
+                }
+            }
+        };
+        i64 rc = right(cursor), lc = left(cursor);
+        while (lc < size()) {
+            if (key1[lc] >= lo1) {
+                consider_node(lc);
+                consider_cross(right(lc));
+                lc = left(lc);
+            } else {
+                lc = right(lc);
+            }
+        }
+        while (rc < size()) {
+            if (key1[rc] < hi1) {
+                consider_node(rc);
+                consider_cross(left(rc));
+                rc = right(rc);
+            } else {
+                rc = left(rc);
+            }
+        }
+        for (int k = 0; k < m; ++k) {
+            if (at_idx[k]) {
+                found[k] = true;
+                out_idx[k] = max_idx[k];
+            } else if (at_iter[k]) {
+                found[k] = true;
+                out_idx[k] = max_tree[k]->ident[max_iter[k]];
+            } else {
+                found[k] = false;
+            }
+        }
+    }
+
+    // Batched update: one cross_pos walk applies every channel's
+    // single-channel update at each ancestor (channels are independent, so
+    // per-channel results are unchanged; the ancestor chain is only walked
+    // once instead of once per channel).
+    void update_multi(int m, const int* chans, i64 i, const f32* nv) {
+        for (int k = 0; k < m; ++k) value[chans[k]][i] = nv[k];
+        for (u32 t = cp_ptr[i]; t < cp_ptr[i + 1]; ++t) {
+            auto& ct = cross[cp_anc[t]];
+            for (int k = 0; k < m; ++k)
+                ct.update(chans[k], cp_pos[t], CrossVal(nv[k], i));
+        }
     }
 };
 
@@ -1518,8 +1726,13 @@ static i64 affine_impl(
     lap("fwd edges");
 
     // ------------- main sweep (anchorer.hpp:2290-2420)
+    double t_ends = 0.0, t_starts = 0.0;
+    i64 n_ends = 0, n_starts = 0;
+    auto swnow = std::chrono::steady_clock::now;
     for (i64 node_id : ref_topo_order(g1)) {
+        auto tn0 = timing ? swnow() : std::chrono::steady_clock::time_point();
         bank.for_ends_on(node_id, [&](u64 id, i64 s, i64 i, i64 j) {
+            ++n_ends;
             f32 dp_val = bank.dp[id];
             const auto& ms = sets[s];
             xm1.chains_on(ms.walks1[i * ms.L + ms.L - 1], sc1);
@@ -1547,6 +1760,10 @@ static i64 affine_impl(
                                     (unsigned long long)id);
                             abort();
                         }
+                        // all improving channels in one ancestor walk
+                        int chans[2 * NumPW];
+                        f32 vals[2 * NumPW];
+                        int m = 0;
                         for (int pw = 0; pw < 2 * NumPW; ++pw) {
                             f32 value;
                             if (pw % 2 == 1) {
@@ -1556,18 +1773,28 @@ static i64 affine_impl(
                                 value = f32(dp_val - local_scale *
                                             gap_extend[pw / 2] * (double)shift);
                             }
-                            if (value > tree.value[pw][node])
-                                tree.update(pw, node, value);
+                            if (value > tree.value[pw][node]) {
+                                chans[m] = pw;
+                                vals[m] = value;
+                                ++m;
+                            }
                         }
+                        if (m) tree.update_multi(m, chans, node, vals);
                     }
                 }
             }
         });
 
+        if (timing) {
+            auto tn1 = swnow();
+            t_ends += std::chrono::duration<double>(tn1 - tn0).count();
+            tn0 = tn1;
+        }
         for (const auto& edge : fwd[node_id]) {
             i64 fwd_id = edge.first;
             i64 chain1 = edge.second;
             bank.for_starts_on(fwd_id, [&](u64 id, i64 s, i64 i, i64 j) {
+                ++n_starts;
                 const auto& ms = sets[s];
                 f32 weight = ms.weight;
                 for (i64 chain2 = 0; chain2 < C2; ++chain2) {
@@ -1589,13 +1816,31 @@ static i64 affine_impl(
                         }
                     }
                     auto& tree = search_trees[chain1][chain2];
+                    // the 3 odd channels share one key rectangle and the 3
+                    // even channels another: answer each trio in a single
+                    // batched traversal, then apply update_dp in the
+                    // original pw order (its first-writer-wins tie rule
+                    // depends on application order, not query order)
+                    static const int odd_ch[NumPW] = {1, 3, 5};
+                    static const int even_ch[NumPW] = {0, 2, 4};
+                    bool ofound[NumPW], efound[NumPW];
+                    i64 oidx[NumPW], eidx[NumPW];
+                    tree.range_max_multi(
+                        NumPW, odd_ch,
+                        key_t(std::numeric_limits<IntShiftT>::min(), 0),
+                        key_t(query, 0), 0, offset, ofound, oidx);
+                    tree.range_max_multi(
+                        NumPW, even_ch,
+                        key_t(IntShiftT(
+                            (typename std::make_unsigned<IntShiftT>::type)
+                                query + 1), 0),
+                        key_t(std::numeric_limits<IntShiftT>::max(), ID_MAX),
+                        0, offset, efound, eidx);
                     for (int pw = 0; pw < 2 * NumPW; ++pw) {
-                        i64 oi;
+                        int k = pw / 2;
                         if (pw % 2 == 1) {
-                            if (tree.range_max(pw,
-                                    key_t(std::numeric_limits<IntShiftT>::min(), 0),
-                                    key_t(query, 0),
-                                    0, offset, &oi)) {
+                            if (ofound[k]) {
+                                i64 oi = oidx[k];
                                 f32 value = f32(
                                     (double)f32(tree.value[pw][oi] + weight) -
                                     local_scale * (gap_open[pw / 2] +
@@ -1604,13 +1849,8 @@ static i64 affine_impl(
                                 bank.update_dp(id, value, tree.key1[oi].second);
                             }
                         } else {
-                            if (tree.range_max(pw,
-                                    key_t(IntShiftT(
-                                        (typename std::make_unsigned<IntShiftT>::type)
-                                            query + 1), 0),
-                                    key_t(std::numeric_limits<IntShiftT>::max(),
-                                          ID_MAX),
-                                    0, offset, &oi)) {
+                            if (efound[k]) {
+                                i64 oi = eidx[k];
                                 f32 value = f32(
                                     (double)f32(tree.value[pw][oi] + weight) -
                                     local_scale * (gap_open[pw / 2] -
@@ -1623,8 +1863,15 @@ static i64 affine_impl(
                 }
             });
         }
+        if (timing)
+            t_starts += std::chrono::duration<double>(swnow() - tn0).count();
     }
 
+    if (timing)
+        fprintf(stderr,
+                "[affine] sweep detail: ends=%lld (%.2fs) starts=%lld "
+                "(%.2fs)\n",
+                (long long)n_ends, t_ends, (long long)n_starts, t_starts);
     lap("main sweep");
     // ------------- traceback
     f32 min_score = 0.0f;
