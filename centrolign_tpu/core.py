@@ -122,6 +122,66 @@ def leaf_intrinsic_scale(sub, max_count, score_function, anchorer):
     return scale, matches, chain_out
 
 
+def leaf_bond_alignments(sub, scale, matches, chain, anchorer, bonder,
+                         stitcher, max_rounds, collect_raw=False):
+    """The per-leaf tandem-duplication bonding rounds (reference
+    src/core.cpp:176-297): masked secondary chaining -> bond identification
+    -> internal stitch, iterated until no bonds. Independent across leaves
+    once the global score scale is calibrated (the anchor budget reads it),
+    which is what lets the multi-host scheduler farm leaves out to workers.
+
+    Returns (bond_alns, raw_alns): bond_alns are (path name, alignment in
+    path-offset coordinates); raw_alns (only when collect_raw) are the
+    untranslated stitch alignments in the order the reference would write
+    them with --bonds."""
+    from .extractor import StepIndex
+    from .path_merge import PathMerge
+
+    path_merge = PathMerge(sub.graph, sub.tableau)
+    mask = Core.generate_diagonal_mask(matches)
+    logmod.log(logmod.Debug,
+               f"Initial mask consists of {len(mask)} matches")
+    step_index = None
+    bond_alns = []
+    raw_alns = []
+    for rnd in range(max_rounds):
+        logmod.log(
+            logmod.Verbose,
+            f"Beginning round {rnd + 1} of tandem duplication "
+            f"detection for sequence {sub.name}.")
+        secondary_chain = anchorer.anchor_chain(
+            matches, sub.graph, sub.graph, sub.tableau,
+            sub.tableau, path_merge, path_merge,
+            masked_matches=mask, override_scale=scale)
+        bonds = bonder.identify_bonds(
+            sub.graph, sub.graph, sub.tableau, sub.tableau,
+            path_merge, path_merge, chain, secondary_chain)
+        bonds = bonder.deduplicate_self_bonds(bonds)
+        logmod.log(logmod.Verbose,
+                   f"Found {len(bonds)} tandem duplications in this round.")
+        if not bonds:
+            break
+        if step_index is None:
+            step_index = StepIndex(sub.graph)
+        for bond in bonds:
+            bond_chain = Core.bonds_to_chain(sub.graph, bond)
+            aln = stitcher.internal_stitch(bond_chain, sub.graph, path_merge)
+            if collect_raw:
+                raw_alns.append(aln)
+            aln = aln.copy()
+            for r in range(len(aln)):
+                if aln[r, 0] != -1:
+                    aln[r, 0] = step_index.path_steps(int(aln[r, 0]))[0][1]
+                if aln[r, 1] != -1:
+                    aln[r, 1] = step_index.path_steps(int(aln[r, 1]))[0][1]
+            bond_alns.append((sub.graph.path_name(0), aln))
+        if rnd != max_rounds:
+            Core.update_mask(matches, secondary_chain, mask, True)
+            logmod.log(logmod.Debug,
+                       f"Updated mask consists of {len(mask)} matches")
+    return bond_alns, raw_alns
+
+
 class Core:
     def __init__(self, names_and_sequences, tree: Tree):
         self.score_function = ScoreFunction()
@@ -200,58 +260,17 @@ class Core:
 
         if (self.cyclize_tandem_duplications
                 and self._restarted_bond_alignments is None):
-            from .extractor import StepIndex
             for i, sub in enumerate(leaves):
-                path_merge = PathMerge(sub.graph, sub.tableau)
                 matches, chain = match_query_memo[i]
-                mask = self.generate_diagonal_mask(matches)
-                logmod.log(logmod.Debug,
-                           f"Initial mask consists of {len(mask)} matches")
-                step_index = None
-                bonds_identified = 0
-                for rnd in range(self.max_tandem_duplication_search_rounds):
-                    logmod.log(
-                        logmod.Verbose,
-                        f"Beginning round {rnd + 1} of tandem duplication "
-                        f"detection for sequence {sub.name}.")
-                    secondary_chain = self.anchorer.anchor_chain(
-                        matches, sub.graph, sub.graph, sub.tableau,
-                        sub.tableau, path_merge, path_merge,
-                        masked_matches=mask,
-                        override_scale=scales[i])
-                    bonds = self.bonder.identify_bonds(
-                        sub.graph, sub.graph, sub.tableau, sub.tableau,
-                        path_merge, path_merge, chain, secondary_chain)
-                    bonds = self.bonder.deduplicate_self_bonds(bonds)
-                    logmod.log(logmod.Verbose,
-                               f"Found {len(bonds)} tandem duplications in "
-                               "this round.")
-                    if not bonds:
-                        break
-                    if step_index is None:
-                        step_index = StepIndex(sub.graph)
-                    for bond in bonds:
-                        bond_chain = self.bonds_to_chain(sub.graph, bond)
-                        aln = self.stitcher.internal_stitch(
-                            bond_chain, sub.graph, path_merge)
-                        if self.bonds_prefix:
-                            self.output_bond_alignment(
-                                aln, sub.graph, 0, bonds_identified)
-                        aln = aln.copy()
-                        for r in range(len(aln)):
-                            if aln[r, 0] != -1:
-                                aln[r, 0] = step_index.path_steps(
-                                    int(aln[r, 0]))[0][1]
-                            if aln[r, 1] != -1:
-                                aln[r, 1] = step_index.path_steps(
-                                    int(aln[r, 1]))[0][1]
-                        bond_alns.append((sub.graph.path_name(0), aln))
-                        bonds_identified += 1
-                    if rnd != self.max_tandem_duplication_search_rounds:
-                        self.update_mask(matches, secondary_chain, mask, True)
-                        logmod.log(logmod.Debug,
-                                   f"Updated mask consists of {len(mask)} "
-                                   "matches")
+                alns, raw = leaf_bond_alignments(
+                    sub, scales[i], matches, chain, self.anchorer,
+                    self.bonder, self.stitcher,
+                    self.max_tandem_duplication_search_rounds,
+                    collect_raw=bool(self.bonds_prefix))
+                if self.bonds_prefix:
+                    for k, raw_aln in enumerate(raw):
+                        self.output_bond_alignment(raw_aln, sub.graph, 0, k)
+                bond_alns.extend(alns)
         return bond_alns
 
     calibrate_anchor_scores = calibrate_anchor_scores_and_identify_bonds

@@ -69,35 +69,58 @@ def _worker_scale(cfg_bytes, payload):
     return float(scale)
 
 
-def distributed_execute(core, n_hosts: int) -> None:
-    """Drive Core's colinear pipeline with layer-parallel subproblem
-    dispatch across `n_hosts` worker processes. Falls back to the serial
-    Core.execute for -c / restart runs."""
-    if (core.cyclize_tandem_duplications
-            or core._restarted_bond_alignments is not None):
-        logmod.log(logmod.Basic,
-                   "Cyclization requested; running serially.")
-        core.execute()
-        return
+def _worker_leaf_bonds(cfg_bytes, payload):
+    """One leaf's full tandem-duplication bonding rounds (-c). The worker
+    re-derives the leaf's self-matches (cheaper than shipping them) and runs
+    the round loop with the already-calibrated global scale baked into the
+    pickled anchorer, so results are byte-identical to the serial pass."""
+    from ..core import leaf_intrinsic_scale, leaf_bond_alignments
+    from ..execution import Subproblem
+    (max_count, score_function, anchorer, bonder, stitcher, max_rounds,
+     collect_raw) = pickle.loads(cfg_bytes)
+    sub = Subproblem()
+    sub.graph, sub.tableau, sub.name, scale = pickle.loads(payload)
+    _scale, matches, chain = leaf_intrinsic_scale(
+        sub, max_count, score_function, anchorer)
+    bond_alns, raw_alns = leaf_bond_alignments(
+        sub, scale, matches, chain, anchorer, bonder, stitcher, max_rounds,
+        collect_raw=collect_raw)
+    return pickle.dumps((bond_alns, raw_alns),
+                        protocol=pickle.HIGHEST_PROTOCOL)
 
+
+def distributed_execute(core, n_hosts: int) -> None:
+    """Drive Core's pipeline with layer-parallel subproblem dispatch across
+    `n_hosts` worker processes — including cyclization (-c, whose per-leaf
+    bonding rounds fan out one leaf per worker) and checkpoint restarts
+    (already-complete subproblems are skipped layer by layer)."""
     ex = core.main_execution
     tree = ex.tree
     ctx = mp.get_context("spawn")
-    # -S needs every computed graph alive for the deferred emit loop below
+    cyclic = core.cyclize_tandem_duplications
+    restarted = core._restarted_bond_alignments is not None
+    bond_alignments = core._restarted_bond_alignments if restarted else []
+    # -S needs every computed graph alive for the deferred emit loop below;
+    # cyclization needs the root graph for apply_bonds
     keep_graphs = bool(core.preserve_subproblems
                        or core.subalignments_filepath
                        or core.subproblems_prefix
+                       or cyclic
                        or len(ex.execution_order) == 1)
 
     with ProcessPoolExecutor(max_workers=n_hosts, mp_context=ctx) as pool:
         # ---- calibration: per-leaf scale estimates, embarrassingly
         # parallel (reference src/core.cpp:122-175 runs them serially)
-        if not core.skip_calibration:
+        scales = []
+        leaves = list(ex.leaf_subproblems())
+        if not core.skip_calibration or cyclic:
             logmod.log(logmod.Basic,
-                       "Calibrating scale of anchoring parameters.")
+                       "Calibrating scale of anchoring parameters."
+                       if not cyclic else
+                       "Calibrating scale of anchoring parameters and "
+                       "identifying tandem duplications.")
             cfg0 = pickle.dumps(
                 (core.max_count, core.score_function, core.anchorer))
-            leaves = list(ex.leaf_subproblems())
             futs = [pool.submit(_worker_scale, cfg0,
                                 pickle.dumps((s.graph, s.tableau)))
                     for s in leaves]
@@ -106,8 +129,30 @@ def distributed_execute(core, n_hosts: int) -> None:
                 logmod.log(logmod.Debug,
                            f"Computed intrinsic scale of {scale} for "
                            f"sequence {sub.name}")
-            if scales:
+            if not core.skip_calibration and scales:
                 core.score_function.score_scale = float(np.mean(scales))
+
+        # ---- cyclization: the per-leaf bonding rounds are independent
+        # once the global scale is fixed — one leaf per worker
+        if cyclic and not restarted:
+            cfg1 = pickle.dumps(
+                (core.max_count, core.score_function, core.anchorer,
+                 core.bonder, core.stitcher,
+                 core.max_tandem_duplication_search_rounds,
+                 bool(core.bonds_prefix)))
+            futs = [pool.submit(
+                        _worker_leaf_bonds, cfg1,
+                        pickle.dumps((s.graph, s.tableau, s.name,
+                                      scales[i])))
+                    for i, s in enumerate(leaves)]
+            for sub, fut in zip(leaves, futs):
+                alns, raw = pickle.loads(fut.result())
+                if core.bonds_prefix:
+                    for k, raw_aln in enumerate(raw):
+                        core.output_bond_alignment(raw_aln, sub.graph, 0, k)
+                bond_alignments.extend(alns)
+            if core.subproblems_prefix:
+                core.emit_restart_bonds(bond_alignments)
 
         # ---- layer-wise progressive MSA
         logmod.log(logmod.Minimal, "Beginning MSA.")
@@ -163,3 +208,13 @@ def distributed_execute(core, n_hosts: int) -> None:
 
     if core.induced_pairwise_prefix:
         core.output_pairwise_alignments(False)
+
+    # ---- cyclization epilogue (reference src/core.cpp:594-648): merge the
+    # bond alignments into the root graph and polish, exactly as the serial
+    # path does after its MSA
+    if cyclic:
+        core.apply_bonds(bond_alignments)
+        if core.induced_pairwise_prefix:
+            logmod.log(logmod.Verbose,
+                       "Outputting non-colinear pairwise alignments")
+            core.output_pairwise_alignments(True)

@@ -396,6 +396,12 @@ class Stitcher:
                                ex2.sources, ex1.sinks, ex2.sinks, params)
                 return _Pending(kind="dag", job=(job, native_args),
                                 finish=lambda aln: aln)
+            # outside the DAG-kernel envelope: record the fallback so the
+            # eligible fraction of device-sized DAG cells is measurable
+            # (the native fill below is timed under the 'po' tag as usual)
+            metrics.record(
+                "po_dagfb", (V1 + 1) * (V2 + 1), 0.0,
+                f"K={max(job.t1.K, job.t2.K)} S={max(job.t1.S, job.t2.S)}")
         t0 = metrics.timer()
         aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
                               ex2.sources, ex1.sinks, ex2.sinks, params)

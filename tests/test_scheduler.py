@@ -58,3 +58,81 @@ def test_distributed_matches_serial(tmp_path, n_seqs):
             a = a.replace(str(ser_dir), "")
             b = b.replace(str(dist_dir), "")
         assert a == b, f"-S file {name} differs"
+
+
+def _make_tandem_fasta(path, n_seqs, unit=700, copies=2, seed=23):
+    """Sequences that are `copies` mutated copies of one unit: the -c
+    bonding rounds find the tandem duplication in every leaf."""
+    rng = np.random.default_rng(seed)
+    unit_seq = "".join("ACGT"[i] for i in rng.integers(0, 4, unit))
+
+    def mut(s, rate=0.02):
+        return "".join("ACGT"[rng.integers(0, 4)] if rng.random() < rate
+                       else c for c in s)
+    with open(path, "w") as f:
+        for i in range(n_seqs):
+            s = "".join(mut(unit_seq) for _ in range(copies))
+            f.write(f">s{i}\n{s}\n")
+
+
+def _run_cyclic(fa, out_dir, extra):
+    env = dict(os.environ, CENTROLIGN_TPU_USE_DEVICE="0")
+    r = subprocess.run(
+        [sys.executable, "-m", "centrolign_tpu.cli", "-v", "0", "-c",
+         "-y", "900",
+         "-s", str(out_dir / "sub.txt"), "-S", str(out_dir / "cp"),
+         "--bond-prefix", str(out_dir / "bond"),
+         *extra, str(fa)],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-800:]
+    return r.stdout
+
+
+@pytest.mark.slow
+def test_distributed_cyclization_matches_serial(tmp_path):
+    """-c across workers: per-leaf bonding rounds fan out, and every
+    output (GFA, -s, -S incl. the bonds restart file, --bonds cigars) must
+    be byte-identical to the serial run."""
+    fa = tmp_path / "in.fa"
+    _make_tandem_fasta(fa, 3)
+    ser_dir = tmp_path / "ser"
+    dist_dir = tmp_path / "dist"
+    ser_dir.mkdir()
+    dist_dir.mkdir()
+    out_ser = _run_cyclic(fa, ser_dir, [])
+    out_dist = _run_cyclic(fa, dist_dir, ["--hosts", "3"])
+    assert out_ser == out_dist, "stdout GFA differs"
+    ser_files = sorted(p.name for p in ser_dir.iterdir())
+    dist_files = sorted(p.name for p in dist_dir.iterdir())
+    assert ser_files == dist_files
+    for name in ser_files:
+        a = (ser_dir / name).read_text()
+        b = (dist_dir / name).read_text()
+        if name == "cp_info.txt":
+            a = a.replace(str(ser_dir), "")
+            b = b.replace(str(dist_dir), "")
+        assert a == b, f"output file {name} differs"
+
+
+@pytest.mark.slow
+def test_distributed_restart_matches_serial(tmp_path):
+    """Kill a distributed -c -S run after its checkpoints exist, then -R
+    restart it distributed: final outputs must equal an uninterrupted
+    serial run."""
+    fa = tmp_path / "in.fa"
+    _make_tandem_fasta(fa, 3, seed=41)
+    ser_dir = tmp_path / "ser"
+    dist_dir = tmp_path / "dist"
+    ser_dir.mkdir()
+    dist_dir.mkdir()
+    out_ser = _run_cyclic(fa, ser_dir, [])
+    # first distributed pass writes the checkpoints; then wipe the root's
+    # completion marker... simplest faithful interruption: run fully, drop
+    # the LAST subproblem file, and restart
+    out_first = _run_cyclic(fa, dist_dir, ["--hosts", "3"])
+    subs = sorted(dist_dir.glob("cp*.gfa"))
+    assert subs, "expected subproblem checkpoints"
+    biggest = max(subs, key=lambda p: p.stat().st_size)
+    biggest.unlink()
+    out_dist = _run_cyclic(fa, dist_dir, ["--hosts", "3", "-R"])
+    assert out_dist == out_ser == out_first, "restarted GFA differs"
