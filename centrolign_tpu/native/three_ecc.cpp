@@ -1,206 +1,203 @@
-// Three-edge-connected components — behavioral twin of the reference's
-// Norouzi & Tsin (2014) implementation (reference
-// three_edge_connected_components.hpp, itself based on Adam Novak's vg
-// implementation): iterative DFS with absorb-eject path merging, bridge-edge
-// censoring, and the same traversal order (neighbors = previous then next,
-// consumed from the back), so the merge-graph edge insertion order and the
-// final component enumeration order (connected_components.hpp DFS from
-// ascending start ids) match the reference exactly.
+// Three-edge-connected components, implemented from the algorithm in
+// Y. H. Tsin, "A simple 3-edge-connected component algorithm" (Theory
+// Comput. Syst. 40, 2007) / Norouzi & Tsin (2014): one DFS with
+// absorb-eject path merging.
+//
+// The result this function must match (reference
+// three_edge_connected_components.hpp as used by cactus.hpp) is CANONICAL:
+// the 3ECC partition of a multigraph is unique, and the reference numbers
+// components by the rank of their smallest member node id (its final
+// connected-components pass starts from ascending node ids). So no
+// structural mirroring of any other implementation is needed — this file
+// expresses the paper's algorithm directly:
+//
+//  - the DFS runs on CSR arc cursors in forward order (no materialized
+//    neighbor lists; the absorb-eject invariants are order-independent),
+//  - per-vertex state is flat SoA arrays (pre/post order, low point,
+//    effective degree, w-path successor, on-path flag),
+//  - component merges go straight into a union-find (the paper's "absorb"
+//    is exactly a union plus a degree transfer), and the canonical
+//    numbering falls out of a single ascending scan at the end.
+//
+// Bridge edges are censored (a bridge endpoint pair can never be
+// 3-edge-connected), self-loop arcs are skipped outright (they contribute
+// +1/-1 to the effective degree in the paper's accounting, i.e. nothing).
 
 #include <cstdint>
 #include <vector>
-#include <algorithm>
 
 namespace {
+
 using i64 = int64_t;
 constexpr i64 NONE = -1;
-}
+
+struct UnionFind {
+    std::vector<i64> parent;
+    explicit UnionFind(i64 n) : parent(n) {
+        for (i64 i = 0; i < n; ++i) parent[i] = i;
+    }
+    i64 find(i64 x) {
+        i64 root = x;
+        while (parent[root] != root) root = parent[root];
+        while (parent[x] != root) {
+            i64 up = parent[x];
+            parent[x] = root;
+            x = up;
+        }
+        return root;
+    }
+    void unite(i64 a, i64 b) { parent[find(b)] = find(a); }
+};
+
+}  // namespace
 
 extern "C" {
 
 // graph as directed CSRs (next + previous adjacency, multigraph allowed).
-// out_comp: (V,) component id per node, ids in reference enumeration order.
-// Returns the number of components.
+// out_comp: (V,) component id per node, numbered by ascending minimum
+// member id (the canonical order). Returns the number of components.
 i64 three_edge_connected_components(
         i64 V, const i64* nptr, const i64* nind, const i64* pptr,
         const i64* pind, i64* out_comp) {
-    struct Node {
-        i64 dfs_counter = 0;
-        i64 dfs_exit = 0;
-        i64 low_point = 0;
-        i64 effective_degree = 0;
-        i64 path_tail = NONE;
-        bool is_on_path = false;
-        bool visited = false;
-    };
-    struct Frame {
-        i64 current;
-        std::vector<i64> neighbors;
-        bool saw_parent_tree_edge = false;
-        bool recursing = false;
-    };
+    if (V == 0) return 0;
 
-    std::vector<Node> nodes(V);
-    // merge graph as an undirected edge list (built in insertion order)
-    std::vector<std::pair<i64, i64>> merge_edges;
+    std::vector<i64> pre(V, 0);       // DFS entry order, 1-based; 0 = new
+    std::vector<i64> post(V, 0);      // DFS exit stamp
+    std::vector<i64> low(V, 0);       // low point (pre-order value)
+    std::vector<i64> deg(V, 0);       // effective degree
+    std::vector<i64> wnext(V, NONE);  // w-path successor
+    std::vector<char> onpath(V, 0);
+    UnionFind uf(V);
 
-    auto absorb_all_along_path = [&](i64 into, i64 path_start,
-                                     i64 path_past_end) {
-        i64 here = path_start;
-        while (here != path_past_end) {
-            if (here == NONE) break;  // edge-free null path
-            Node& here_node = nodes[here];
-            if (here_node.is_on_path) {
-                if (into == NONE) {
-                    into = here;
-                } else {
-                    nodes[into].effective_degree =
-                        nodes[into].effective_degree +
-                        here_node.effective_degree - 2;
-                    merge_edges.emplace_back(into, here);
-                }
+    // absorb every on-path vertex of the path [start, past_end) into
+    // `into` (or into the first on-path vertex when `into` is NONE),
+    // transferring effective degrees (paper's absorption rule)
+    auto absorb = [&](i64 into, i64 start, i64 past_end) {
+        for (i64 v = start; v != past_end && v != NONE; v = wnext[v]) {
+            if (!onpath[v]) continue;
+            if (into == NONE) {
+                into = v;
+            } else {
+                deg[into] += deg[v] - 2;
+                uf.unite(into, v);
             }
-            here = here_node.path_tail;
         }
     };
 
+    // iterative DFS over arc cursors: each vertex's incident arcs are the
+    // concatenation of its previous- and next-CSR rows, visited in forward
+    // order. cursor k in [0, pdeg+ndeg).
+    struct Frame {
+        i64 v;
+        i64 parent;        // DFS tree parent (NONE at a root)
+        i64 k;             // next arc cursor
+        i64 child;         // set while a child call is outstanding
+        bool parent_skipped;  // exactly one parent arc is the tree edge
+    };
     std::vector<Frame> stack;
-    i64 next_unvisited = 0;
-    i64 dfs_counter = 1;
 
-    while (next_unvisited != V) {
-        stack.emplace_back();
-        stack.back().current = !nodes[0].visited ? 0 : next_unvisited;
-
+    i64 clock = 1;
+    for (i64 root = 0; root < V; ++root) {
+        if (pre[root]) continue;
+        stack.push_back({root, NONE, 0, NONE, false});
         while (!stack.empty()) {
-            Frame& frame = stack.back();
-            Node& node = nodes[frame.current];
-
-            if (!node.visited) {
-                node.visited = true;
-                if (frame.current == next_unvisited) {
-                    do {
-                        ++next_unvisited;
-                    } while (next_unvisited != V &&
-                             nodes[next_unvisited].visited);
-                }
-                node.dfs_counter = dfs_counter++;
-                node.low_point = node.dfs_counter;
-                node.path_tail = NONE;
-                node.is_on_path = true;
-                for (i64 k = pptr[frame.current]; k < pptr[frame.current + 1];
-                     ++k)
-                    frame.neighbors.push_back(pind[k]);
-                for (i64 k = nptr[frame.current]; k < nptr[frame.current + 1];
-                     ++k)
-                    frame.neighbors.push_back(nind[k]);
-                continue;
+            Frame& fr = stack.back();
+            i64 w = fr.v;
+            if (pre[w] == 0) {
+                pre[w] = clock++;
+                low[w] = pre[w];
+                onpath[w] = 1;
             }
-            if (!frame.neighbors.empty()) {
-                i64 neighbor_number = frame.neighbors.back();
-                Node& neighbor = nodes[neighbor_number];
-                if (!frame.recursing) {
-                    node.effective_degree++;
-                    if (!neighbor.visited) {
-                        frame.recursing = true;
-                        stack.emplace_back();
-                        stack.back().current = neighbor_number;
-                        // note: frame/node references invalidated
+
+            if (fr.child != NONE) {
+                // returning from tree-edge child u
+                i64 u = fr.child;
+                fr.child = NONE;
+                if (low[u] == pre[u]) {
+                    // (w, u) is a bridge: censor it on both sides
+                    --deg[u];
+                    --deg[w];
+                } else {
+                    if (deg[u] == 2) onpath[u] = 0;  // eject u
+                    if (low[w] <= low[u]) {
+                        absorb(w, u, NONE);
                     } else {
-                        if (stack.size() > 1 &&
-                            neighbor_number == stack[stack.size() - 2].current &&
-                            !frame.saw_parent_tree_edge) {
-                            frame.saw_parent_tree_edge = true;
-                        } else if (neighbor.dfs_counter < node.dfs_counter) {
-                            if (neighbor.dfs_counter < node.low_point) {
-                                absorb_all_along_path(NONE, frame.current,
-                                                      NONE);
-                                node.low_point = neighbor.dfs_counter;
-                                node.is_on_path = true;
-                                node.path_tail = NONE;
-                            }
-                        } else if (node.dfs_counter < neighbor.dfs_counter) {
-                            node.effective_degree -= 2;
-                            i64 repl = frame.current;
-                            i64 cand = nodes[repl].path_tail;
-                            while (cand != NONE &&
-                                   nodes[cand].dfs_counter <=
-                                       neighbor.dfs_counter &&
-                                   nodes[cand].dfs_exit >= neighbor.dfs_exit) {
-                                repl = cand;
-                                cand = nodes[repl].path_tail;
-                            }
-                            absorb_all_along_path(NONE, frame.current,
-                                                  nodes[repl].path_tail);
-                            node.path_tail = nodes[repl].path_tail;
-                        } else {
-                            node.effective_degree--;  // self loop
-                        }
-                        frame.neighbors.pop_back();
+                        low[w] = low[u];
+                        absorb(NONE, w, NONE);
+                        onpath[w] = 1;
+                        wnext[w] = u;
+                    }
+                }
+            }
+
+            i64 pdeg = pptr[w + 1] - pptr[w];
+            i64 arcs = pdeg + (nptr[w + 1] - nptr[w]);
+            bool descended = false;
+            while (fr.k < arcs) {
+                i64 k = fr.k;
+                i64 u = (k < pdeg) ? pind[pptr[w] + k]
+                                   : nind[nptr[w] + (k - pdeg)];
+                if (u == w) {  // self loop: +1 then -1 in the paper
+                    ++fr.k;
+                    continue;
+                }
+                if (pre[u] == 0) {
+                    // tree edge: child counts it on its side below
+                    ++deg[w];
+                    ++fr.k;
+                    fr.child = u;
+                    stack.push_back({u, w, 0, NONE, false});
+                    descended = true;
+                    break;
+                }
+                if (u == fr.parent && !fr.parent_skipped) {
+                    // the one parent arc that is the DFS tree edge
+                    // (counted at this end when the parent descended)
+                    fr.parent_skipped = true;
+                    ++deg[w];
+                    ++fr.k;
+                    continue;
+                }
+                if (pre[u] < pre[w]) {
+                    // outgoing back edge w -> ancestor u
+                    ++deg[w];
+                    if (pre[u] < low[w]) {
+                        absorb(NONE, w, NONE);
+                        low[w] = pre[u];
+                        onpath[w] = 1;
+                        wnext[w] = NONE;
                     }
                 } else {
-                    if (neighbor.low_point == neighbor.dfs_counter) {
-                        // bridge edge: censor
-                        neighbor.effective_degree--;
-                        node.effective_degree--;
-                    } else {
-                        if (neighbor.effective_degree == 2) {
-                            neighbor.is_on_path = false;
-                        }
-                        if (node.low_point <= neighbor.low_point) {
-                            absorb_all_along_path(frame.current,
-                                                  neighbor_number, NONE);
-                        } else {
-                            node.low_point = neighbor.low_point;
-                            absorb_all_along_path(NONE, frame.current, NONE);
-                            node.is_on_path = true;
-                            node.path_tail = neighbor_number;
-                        }
+                    // incoming back edge from the (finished) descendant u:
+                    // the w-path prefix of u's ancestors collapses into w
+                    --deg[w];  // paper: +1 for the arc, -2 for absorption
+                    i64 last = w;
+                    i64 cand = wnext[last];
+                    while (cand != NONE && pre[cand] <= pre[u] &&
+                           post[cand] >= post[u]) {
+                        last = cand;
+                        cand = wnext[last];
                     }
-                    frame.recursing = false;
-                    frame.neighbors.pop_back();
+                    absorb(NONE, w, wnext[last]);
+                    wnext[w] = wnext[last];
                 }
-            } else {
-                node.dfs_exit = dfs_counter;
+                ++fr.k;
+            }
+            if (descended) continue;
+            if (fr.k >= arcs) {
+                post[w] = clock;
                 stack.pop_back();
             }
         }
     }
 
-    // connected components of the merge graph (connected_components.hpp:11):
-    // DFS from ascending start ids, previous- then next-edges, stack popped
-    // from the back. The merge graph is undirected here, so we build both
-    // adjacency directions in insertion order.
-    std::vector<std::vector<i64>> prev_adj(V), next_adj(V);
-    for (const auto& e : merge_edges) {
-        next_adj[e.first].push_back(e.second);
-        prev_adj[e.second].push_back(e.first);
-    }
-    std::vector<bool> traversed(V, false);
+    // canonical numbering: component id = rank of its smallest member
+    std::vector<i64> comp_id(V, NONE);
     i64 n_comp = 0;
-    std::vector<i64> dfs;
-    for (i64 start = 0; start < V; ++start) {
-        if (traversed[start]) continue;
-        dfs.assign(1, start);
-        traversed[start] = true;
-        while (!dfs.empty()) {
-            i64 v = dfs.back();
-            dfs.pop_back();
-            out_comp[v] = n_comp;
-            for (i64 u : prev_adj[v]) {
-                if (!traversed[u]) {
-                    traversed[u] = true;
-                    dfs.push_back(u);
-                }
-            }
-            for (i64 u : next_adj[v]) {
-                if (!traversed[u]) {
-                    traversed[u] = true;
-                    dfs.push_back(u);
-                }
-            }
-        }
-        ++n_comp;
+    for (i64 v = 0; v < V; ++v) {
+        i64 r = uf.find(v);
+        if (comp_id[r] == NONE) comp_id[r] = n_comp++;
+        out_comp[v] = comp_id[r];
     }
     return n_comp;
 }
