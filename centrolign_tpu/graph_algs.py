@@ -245,3 +245,176 @@ def minmax_distance(graph, sources=None):
     mind[unreach] = -1
     maxd[unreach] = -1
     return mind, maxd
+
+
+def target_reachability(graph, targets) -> np.ndarray:
+    """Whether each node can reach at least one target (reference
+    target_reachability.hpp:16-32). Level-parallel reverse sweep: nodes of
+    a topological level depend only on deeper levels, so each level is one
+    vectorized gather + segmented any."""
+    V = graph.node_size
+    reachable = np.zeros(V, dtype=bool)
+    if V == 0:
+        return reachable
+    reachable[np.asarray(targets, dtype=_I64)] = True
+    levels = topological_levels(graph)
+    nptr, nind = graph.next_csr()
+    order = np.argsort(levels, kind="stable")
+    bounds = np.searchsorted(levels[order], np.arange(levels.max() + 2))
+    for lv in range(int(levels.max()), -1, -1):
+        nodes = order[bounds[lv]:bounds[lv + 1]]
+        if len(nodes) == 0:
+            continue
+        starts = nptr[nodes]
+        ends = nptr[nodes + 1]
+        has = ends > starts
+        if not has.any():
+            continue
+        edges = _multi_range(starts[has], ends[has])
+        seg = np.repeat(np.arange(len(nodes))[has], (ends - starts)[has])
+        hit = np.zeros(len(nodes), dtype=bool)
+        np.logical_or.at(hit, seg, reachable[nind[edges]])
+        reachable[nodes] |= hit
+    return reachable
+
+
+def bridges(graph) -> np.ndarray:
+    """Bridge edges of the graph viewed as undirected (reference
+    bridges.hpp:35-139, Schmidt 2013 by way of a low-point DFS): edges
+    whose removal disconnects their component, returned oriented forward
+    (from, to) as stored in the graph. Parallel edges are never bridges.
+
+    Returns an (M, 2) int64 array."""
+    V = graph.node_size
+    if V == 0:
+        return np.empty((0, 2), dtype=_I64)
+    nptr, nind = graph.next_csr()
+    pptr, pind = graph.prev_csr()
+
+    # undirected incidence: arcs (neighbor, edge_id) with one shared edge
+    # id per stored forward edge — edge_id e is the e-th forward edge
+    # (node-major in next_csr order)
+    deg = (nptr[1:] - nptr[:-1]) + (pptr[1:] - pptr[:-1])
+    aptr = np.zeros(V + 1, dtype=_I64)
+    np.cumsum(deg, out=aptr[1:])
+    a_nbr = np.empty(aptr[-1], dtype=_I64)
+    a_eid = np.empty(aptr[-1], dtype=_I64)
+    # forward edge ids in next_csr layout
+    eids_fwd = np.arange(len(nind), dtype=_I64)
+    # map each prev arc to its forward edge id: for (v, u) in prev arcs,
+    # the matching forward arc is (u -> v); count occurrences in order
+    cur = aptr[:-1].copy()
+    for v in range(V):
+        for k in range(nptr[v], nptr[v + 1]):
+            a_nbr[cur[v]] = nind[k]
+            a_eid[cur[v]] = eids_fwd[k]
+            cur[v] += 1
+    # prev arcs: pair the j-th parallel (u -> v) prev-arc with the j-th
+    # parallel forward arc
+    seen: dict = {}
+    for v in range(V):
+        for k in range(pptr[v], pptr[v + 1]):
+            u = int(pind[k])
+            j = seen.get((u, v), 0)
+            seen[(u, v)] = j + 1
+            # find the j-th occurrence of v in u's forward row
+            row = nind[nptr[u]:nptr[u + 1]]
+            occ = np.flatnonzero(row == v)[j]
+            a_nbr[cur[v]] = u
+            a_eid[cur[v]] = nptr[u] + occ
+            cur[v] += 1
+
+    # iterative low-point DFS over the undirected multigraph; an edge is a
+    # bridge iff it is the unique tree edge to a subtree with low >= pre
+    pre = np.zeros(V, dtype=_I64)
+    low = np.zeros(V, dtype=_I64)
+    out = []
+    clock = 1
+    for root in range(V):
+        if pre[root]:
+            continue
+        stack = [(root, -1, aptr[root])]  # (v, entering edge id, cursor)
+        pre[root] = clock
+        low[root] = clock
+        clock += 1
+        while stack:
+            v, in_eid, k = stack[-1]
+            if k < aptr[v + 1]:
+                stack[-1] = (v, in_eid, k + 1)
+                u = int(a_nbr[k])
+                eid = int(a_eid[k])
+                if eid == in_eid:
+                    continue  # the tree edge itself (parallel copies pass)
+                if pre[u]:
+                    low[v] = min(low[v], pre[u])
+                else:
+                    pre[u] = low[u] = clock
+                    clock += 1
+                    stack.append((u, eid, aptr[u]))
+            else:
+                stack.pop()
+                if stack:
+                    p, p_eid, _ = stack[-1]
+                    if low[v] >= pre[v]:
+                        e = in_eid
+                        out.append((int(nptr.searchsorted(e, "right") - 1),
+                                    int(nind[e])))
+                    low[p] = min(low[p], low[v])
+    return (np.array(sorted(out), dtype=_I64).reshape(-1, 2)
+            if out else np.empty((0, 2), dtype=_I64))
+
+
+def bridge_components(graph):
+    """2-edge-connected components after censoring bridges (reference
+    bridges.hpp:141-224): list of (node_ids, edges) with edges as (M, 2)
+    original-id pairs, components ordered by smallest member id."""
+    V = graph.node_size
+    br = {(int(a), int(b)) for a, b in bridges(graph)}
+    nptr, nind = graph.next_csr()
+    pptr, pind = graph.prev_csr()
+    comp = np.full(V, -1, dtype=_I64)
+    n_comp = 0
+    for root in range(V):
+        if comp[root] != -1:
+            continue
+        comp[root] = n_comp
+        stack = [root]
+        while stack:
+            v = stack.pop()
+            for u in nind[nptr[v]:nptr[v + 1]]:
+                if comp[u] == -1 and (v, int(u)) not in br:
+                    comp[u] = n_comp
+                    stack.append(int(u))
+            for u in pind[pptr[v]:pptr[v + 1]]:
+                if comp[u] == -1 and (int(u), v) not in br:
+                    comp[u] = n_comp
+                    stack.append(int(u))
+        n_comp += 1
+    out = []
+    for c in range(n_comp):
+        nodes = np.flatnonzero(comp == c).astype(_I64)
+        es = []
+        for v in nodes:
+            for u in nind[nptr[v]:nptr[v + 1]]:
+                if comp[u] == c and (int(v), int(u)) not in br:
+                    es.append((int(v), int(u)))
+        out.append((nodes, np.array(es, dtype=_I64).reshape(-1, 2)))
+    return out
+
+
+def integer_sort(indexes, ranks) -> np.ndarray:
+    """Stable counting sort of `indexes` by small integer ranks (reference
+    integer_sort.hpp:12-37): linear time when max(rank) is O(n)."""
+    indexes = np.asarray(indexes, dtype=_I64)
+    r = np.asarray(ranks, dtype=_I64)
+    if len(indexes) == 0:
+        return indexes.copy()
+    counts = np.bincount(r)
+    offsets = np.zeros(len(counts), dtype=_I64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    sorted_out = np.empty(len(indexes), dtype=_I64)
+    pos = offsets.copy()
+    for i, rank in zip(indexes, r):
+        sorted_out[pos[rank]] = i
+        pos[rank] += 1
+    return sorted_out
