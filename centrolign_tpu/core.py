@@ -36,14 +36,14 @@ from .io.gfa import write_gfa, read_gfa
 from .modify_graph import add_sentinels
 
 
-def pairwise_align_step(sub1, sub2, max_count, score_function, anchorer,
-                        partitioner, stitcher, match_finder=None,
-                        is_main_execution=True,
-                        memory_restraint_size=1 << 30) -> np.ndarray:
-    """One pairwise graph-graph alignment (the compute of one subproblem,
-    reference core.hpp:256-403 minus the fuse): sentinel reassignment,
-    match finding, reachability, chain/partition/stitch. Shared by the
-    serial Core.do_execution and the multi-host scheduler workers."""
+def prepare_pair_step(sub1, sub2, max_count, score_function,
+                      match_finder=None, memory_restraint_size=1 << 30):
+    """The scale-independent front half of one pairwise subproblem:
+    sentinel reassignment, match finding, reachability. None of it reads
+    the calibrated ``score_function.score_scale`` (anchor_weight is
+    scale-free; the scale enters only at anchoring), so the multi-host
+    scheduler overlaps this work with calibration. Returns
+    (matches, xm1, xm2, merge_cls)."""
     reassign_sentinels(sub1.graph, sub1.tableau, 5, 6)
     reassign_sentinels(sub2.graph, sub2.tableau, 7, 8)
     logmod.log(logmod.Verbose, "Finding matches.")
@@ -65,6 +65,25 @@ def pairwise_align_step(sub1, sub2, max_count, score_function, anchorer,
     xm1 = merge_cls(sub1.graph, sub1.tableau)
     xm2 = merge_cls(sub2.graph, sub2.tableau)
     log_memory_usage(logmod.Debug)
+    return matches, xm1, xm2, merge_cls
+
+
+def pairwise_align_step(sub1, sub2, max_count, score_function, anchorer,
+                        partitioner, stitcher, match_finder=None,
+                        is_main_execution=True,
+                        memory_restraint_size=1 << 30,
+                        prepared=None) -> np.ndarray:
+    """One pairwise graph-graph alignment (the compute of one subproblem,
+    reference core.hpp:256-403 minus the fuse): sentinel reassignment,
+    match finding, reachability, chain/partition/stitch. Shared by the
+    serial Core.do_execution and the multi-host scheduler workers.
+    `prepared` accepts a precomputed prepare_pair_step result."""
+    from .path_merge import PackedPathMerge
+    if prepared is None:
+        prepared = prepare_pair_step(
+            sub1, sub2, max_count, score_function, match_finder,
+            memory_restraint_size)
+    matches, xm1, xm2, merge_cls = prepared
     anchors = anchorer.anchor_chain(
         matches, sub1.graph, sub2.graph, sub1.tableau, sub2.tableau,
         xm1, xm2)

@@ -405,6 +405,312 @@ def _traceback_batch_on_device(bp, score, V1, V2, lane_is_i: bool, npw: int,
     return jax.vmap(fn)(bp, score, V1, V2)
 
 
+# ---------------------------------------------------------------------------
+# Sublane-packed batch: 8 problems ride the 8 VPU sublanes of every vector
+# op, so a (8, W) tile carries 8 real DP rows instead of one row plus 7
+# rows of hardware padding — the single biggest lever identified in
+# docs/kernel-roofline.md ("multi-problem lane packing"). The group size is
+# ALWAYS 8 (short groups are padded with empty V1=V2=0 problems), which
+# also collapses the per-batch-size compile keys of the row-per-problem
+# kernel into one shape per (W, num_diags, lane_is_i, swap_pref, npw).
+#
+# The per-problem unaligned b-slice is made uniform across sublanes by
+# storing each problem's reversed other-side sequence right-aligned at a
+# bucket-fixed position: b[r, W + D - len : W + D] = src_r[::-1], so the
+# slice offset for diagonal d is W + D - d for every row at once.
+
+GROUP = 8
+
+
+def _pack_chunk(W: int) -> int:
+    """Per-grid-step diagonal count, sized so the (chunk, 8, W) int32
+    backpointer block stays within ~2 MB of VMEM (double-buffered)."""
+    chunk = CHUNK
+    while chunk * GROUP * W * 4 > (2 << 20) and chunk > 8:
+        chunk //= 2
+    return chunk
+
+
+def _make_pack8_kernel(npw: int, lane_is_i: bool, swap_pref: bool,
+                       chunk: int, D: int):
+    def kernel(par_ref,            # VMEM (8, 16) int32 per-row params
+               a_ref,              # VMEM (8, W) int32 lane-side labels
+               b_ref,              # VMEM (8, LB) int32 right-aligned rev.
+               bp_ref,             # out VMEM (chunk, 8, W) int32
+               sc_ref,             # out VMEM (8, W) int32 (row-max = score)
+               M1, M2, II, DD):    # scratch (8,W),(8,W),(npw,8,W),(npw,8,W)
+        c = pl.program_id(0)
+        W = a_ref.shape[-1]
+        a_vec = a_ref[:, :]
+        V1v = par_ref[:, 0:1]
+        V2v = par_ref[:, 1:2]
+        matchv = par_ref[:, 2:3]
+        mismatchv = par_ref[:, 3:4]
+
+        @pl.when(c == 0)
+        def _init():
+            M1[:, :] = jnp.full_like(M1, _NEG)
+            M2[:, :] = jnp.full_like(M2, _NEG)
+            II[:, :, :] = jnp.full_like(II, _NEG)
+            DD[:, :, :] = jnp.full_like(DD, _NEG)
+            sc_ref[:, :] = jnp.full_like(sc_ref, _NEG)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 1)
+
+        def body(k, _):
+            d = c * chunk + k
+            if lane_is_i:
+                i_vec, j_vec = lane, d - lane
+            else:
+                i_vec, j_vec = d - lane, lane
+            # uniform-offset b slice: aligned load + lane rotation
+            off = W + D - d
+            base = (off // 128) * 128
+            rem = off - base
+            chunkb = b_ref[:, pl.ds(base, W + 128)]
+            rolled = pltpu.roll(chunkb, shift=(W + 128) - rem, axis=1)
+            bvec = rolled[:, :W]
+            score_vec = jnp.where(a_vec == bvec, matchv, -mismatchv)
+
+            Mrow1 = M1[:, :]
+            Mrow2 = M2[:, :]
+
+            in_matrix = ((i_vec >= 0) & (i_vec <= V1v)
+                         & (j_vec >= 0) & (j_vec <= V2v))
+            i_pos = i_vec >= 1
+            j_pos = j_vec >= 1
+            corner = (i_vec == 0) & (j_vec == 0)
+
+            if lane_is_i:
+                M_up = _shift_lanes(Mrow1)
+                M_left = Mrow1
+                M_diag = _shift_lanes(Mrow2)
+            else:
+                M_up = Mrow1
+                M_left = _shift_lanes(Mrow1)
+                M_diag = _shift_lanes(Mrow2)
+
+            Mnew = jnp.where(in_matrix & i_pos & j_pos,
+                             M_diag + score_vec, _NEG)
+            bp = jnp.zeros((GROUP, W), jnp.int32)
+            comps = []
+            for pw in range(npw):
+                go = par_ref[:, 4 + pw:5 + pw]
+                ge = par_ref[:, 4 + npw + pw:5 + npw + pw]
+                Ipw = II[pw, :, :]
+                Dpw = DD[pw, :, :]
+                if lane_is_i:
+                    I_prev = _shift_lanes(Ipw)
+                    D_prev = Dpw
+                else:
+                    I_prev = Ipw
+                    D_prev = _shift_lanes(Dpw)
+                i_open_val = M_up - (go + ge)
+                Inew = jnp.maximum(i_open_val, I_prev - ge)
+                Inew = jnp.where(in_matrix & i_pos, Inew, _NEG)
+                d_open_val = M_left - (go + ge)
+                Dnew = jnp.maximum(d_open_val, D_prev - ge)
+                Dnew = jnp.where(in_matrix & j_pos, Dnew, _NEG)
+                II[pw, :, :] = Inew
+                DD[pw, :, :] = Dnew
+                Mnew = jnp.maximum(Mnew, jnp.maximum(Inew, Dnew))
+                bp = bp | ((Inew == i_open_val) & (Inew > _NEG)
+                           ).astype(jnp.int32) << (3 + pw)
+                bp = bp | ((Dnew == d_open_val) & (Dnew > _NEG)
+                           ).astype(jnp.int32) << (6 + pw)
+                if swap_pref:
+                    comps.append((Dnew, 2 + 2 * pw))
+                    comps.append((Inew, 1 + 2 * pw))
+                else:
+                    comps.append((Inew, 1 + 2 * pw))
+                    comps.append((Dnew, 2 + 2 * pw))
+
+            Mnew = jnp.where(corner, jnp.int32(0), Mnew)
+            Mnew = jnp.where(in_matrix, Mnew, _NEG)
+
+            code = jnp.zeros((GROUP, W), jnp.int32)
+            for comp_val, comp_code in reversed(comps):
+                code = jnp.where(comp_val == Mnew, comp_code, code)
+            code = jnp.where(corner, 0, code)
+            bp = bp | code
+
+            bp_ref[pl.ds(k, 1), :, :] = bp[None]
+            M2[:, :] = Mrow1
+            M1[:, :] = Mnew
+
+            # per-row opt score: capture Mnew at the row's final diagonal
+            last_lane = V1v if lane_is_i else V2v
+            done = (d == V1v + V2v) & (lane == last_lane)
+            sc_ref[:, :] = jnp.where(done, Mnew, sc_ref[:, :])
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_diags", "W", "lane_is_i", "npw", "swap_pref"))
+def gotoh_fill_pallas_pack8(params, a, b, num_diags: int, W: int,
+                            lane_is_i: bool, npw: int, swap_pref: bool):
+    """params (8, 16) int32 [V1, V2, match, mismatch, go*, ge*, 0-pad];
+    a (8, W); b (8, 2W + num_diags + 128). Returns
+    (bp (num_diags, 8, W) int32, score (8,) int32)."""
+    chunk = _pack_chunk(W)
+    kernel = _make_pack8_kernel(npw, lane_is_i, swap_pref, chunk, num_diags)
+    n_chunks = num_diags // chunk
+    bp, sc = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((GROUP, 16), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, a.shape[1]), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, b.shape[1]), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, GROUP, W), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, W), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_diags, GROUP, W), jnp.int32),
+            jax.ShapeDtypeStruct((GROUP, W), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, W), jnp.int32),
+            pltpu.VMEM((GROUP, W), jnp.int32),
+            pltpu.VMEM((npw, GROUP, W), jnp.int32),
+            pltpu.VMEM((npw, GROUP, W), jnp.int32),
+        ],
+    )(params, a, b)
+    return bp, jnp.max(sc, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_is_i", "npw", "cap"))
+def _traceback_pack8_on_device(bp, scores, V1, V2, lane_is_i: bool,
+                               npw: int, cap: int):
+    """Traceback for the packed fill: bp (cap, 8, W) -> per-row packed output
+    identical in layout to _traceback_bp_on_device.
+
+    Every traceback move lowers the anti-diagonal d by 1 (gap) or 2 (match),
+    so the walk visits each diagonal AT MOST ONCE — which turns the
+    pointer-chase into a `lax.scan` over diagonals in reverse, with each
+    step's (8, W) backpointer row STREAMED in as the scan's xs instead of
+    gathered with a per-step dynamic_slice (the gather walk measured ~50 us
+    per step through XLA; the streamed row is one HBM read that the scan
+    pipeline prefetches). A row's state only advances on the step matching
+    its current diagonal."""
+    D, G, W = bp.shape
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+
+    def step(state, xs):
+        d, bp_row = xs
+        i, j, comp = state
+        active = ((i + j) == d) & ((i != 0) | (j != 0))
+        lane_idx = i if lane_is_i else j
+        b = jnp.sum(jnp.where(lane_iota == lane_idx[:, None], bp_row, 0),
+                    axis=1)
+        code = b & 0b111
+        odd = code % 2 == 1
+        new_comp = jnp.where(odd, (code + 1) // 2, -(code // 2))
+        comp_eff = jnp.where(comp == 0, new_comp, comp)
+        is_diag = (comp == 0) & (code == 0)
+        take_i = comp_eff > 0
+        pair = jnp.where(
+            is_diag[:, None], jnp.stack([i - 1, j - 1], axis=1),
+            jnp.where(take_i[:, None],
+                      jnp.stack([i - 1, jnp.full_like(j, -1)], axis=1),
+                      jnp.stack([jnp.full_like(i, -1), j - 1], axis=1)))
+        pair = jnp.where(active[:, None], pair, jnp.int32(-2))
+        pw_i = comp_eff - 1
+        pw_d = -comp_eff - 1
+        i_closes = (b >> (3 + pw_i)) & 1
+        d_closes = (b >> (6 + pw_d)) & 1
+        comp_next = jnp.where(
+            is_diag, 0,
+            jnp.where(take_i,
+                      jnp.where(i_closes == 1, 0, comp_eff),
+                      jnp.where(d_closes == 1, 0, comp_eff)))
+        i_next = jnp.where(is_diag | take_i, i - 1, i)
+        j_next = jnp.where(is_diag | ~take_i, j - 1, j)
+        return ((jnp.where(active, i_next, i),
+                 jnp.where(active, j_next, j),
+                 jnp.where(active, comp_next, comp)),
+                pair)
+
+    state0 = (V1, V2, jnp.zeros(G, jnp.int32))
+    _, pairs = jax.lax.scan(
+        step, state0, (jnp.arange(D, dtype=jnp.int32), bp), reverse=True)
+    # pairs (D, 8, 2), diagonal-indexed: increasing d == alignment order.
+    # Compact each row to the packed (cap+1, 2) layout with one scatter.
+    valid = pairs[:, :, 0] != -2                         # (D, 8)
+    count = jnp.sum(valid, axis=0, dtype=jnp.int32)      # (8,)
+    pos = jnp.cumsum(valid, axis=0, dtype=jnp.int32)     # 1-based among valid
+
+    def compact(row_pairs, row_valid, row_pos, n, score):
+        # invalid rows target cap+1: out of bounds, dropped by the scatter
+        # (negative indices would WRAP, clobbering the last row)
+        tgt = jnp.where(row_valid, cap - n + row_pos, jnp.int32(cap + 1))
+        out = jnp.zeros((cap + 1, 2), jnp.int32)
+        out = out.at[tgt].set(row_pairs, mode="drop")
+        return out.at[0].set(jnp.stack([n, score]))
+
+    return jax.vmap(compact, in_axes=(1, 1, 1, 0, 0))(
+        pairs, valid, pos, count, scores)
+
+
+def _build_skew_inputs_packed(seq1, seq2, lane_is_i: bool, W: int, D: int,
+                              a_row, b_row):
+    """Fill one row of the packed (a, b) arrays: a as in _build_skew_inputs,
+    b right-aligned at W + D so the slice offset is uniform per diagonal."""
+    V1, V2 = len(seq1), len(seq2)
+    if lane_is_i:
+        a_row[1:V1 + 1] = seq1
+        b_src, b_len = seq2, V2
+    else:
+        a_row[1:V2 + 1] = seq2
+        b_src, b_len = seq1, V1
+    b_row[W + D - b_len:W + D] = b_src[::-1]
+
+
+def gotoh_dispatch_pack8(bucket, jobs):
+    """Asynchronous launch of up to GROUP jobs of one bucket through the
+    sublane-packed fill + traceback. Returns a handle for gotoh_fetch."""
+    (W, num_diags, lane_is_i, swp, npw) = bucket
+    a_all = np.full((GROUP, W), -1, np.int32)
+    b_all = np.full((GROUP, 2 * W + num_diags + 128), -2, np.int32)
+    par = np.zeros((GROUP, 16), np.int32)
+    V1s = np.zeros(GROUP, np.int32)
+    V2s = np.zeros(GROUP, np.int32)
+    for k, (s1, s2, _swp, p) in enumerate(jobs):
+        s1 = np.asarray(s1, dtype=np.int32)
+        s2 = np.asarray(s2, dtype=np.int32)
+        _build_skew_inputs_packed(s1, s2, lane_is_i, W, num_diags,
+                                  a_all[k], b_all[k])
+        par[k, :4 + 2 * npw] = [len(s1), len(s2), p.match, p.mismatch,
+                                *p.gap_open, *p.gap_extend]
+        V1s[k], V2s[k] = len(s1), len(s2)
+    bp, scores = gotoh_fill_pallas_pack8(
+        jnp.asarray(par), jnp.asarray(a_all), jnp.asarray(b_all),
+        num_diags, W, lane_is_i, npw, swp)
+    packed = _traceback_pack8_on_device(
+        bp, scores, jnp.asarray(V1s), jnp.asarray(V2s),
+        lane_is_i, npw, num_diags)
+    return packed, len(jobs)
+
+
+# The row-per-problem kernel wastes 7 of every 8 sublanes but pays for a
+# problem's exact row count; the sublane-packed kernel fills all 8 sublanes
+# but always computes 8 rows. Packing wins whenever the group has >1 job or
+# the fill is small; huge singleton fills keep the row-per-problem path.
+PACK8_MAX_W = 4096
+
+
 def _job_bucket(job):
     """Compile-bucket key for one (s1, s2, swap_pref, params) job."""
     s1, s2, swp, p = job
@@ -424,6 +730,10 @@ def gotoh_dispatch(bucket, jobs):
     from .gotoh import _build_skew_inputs
 
     (W, num_diags, lane_is_i, swp, npw) = bucket
+    if W <= PACK8_MAX_W:
+        handles = [gotoh_dispatch_pack8(bucket, jobs[g:g + GROUP])
+                   for g in range(0, len(jobs), GROUP)]
+        return ("pack8", handles)
     B = _pow2_bucket(len(jobs), 1)
     a_all = np.empty((B, W), np.int32)
     b_all = np.empty((B, 2 * W + num_diags + 128), np.int32)
@@ -451,6 +761,11 @@ def gotoh_dispatch(bucket, jobs):
 def gotoh_fetch(handle):
     """Block on a `gotoh_dispatch` handle; returns the per-job list of
     (alignment (L,2) int64, score int)."""
+    if isinstance(handle, tuple) and handle[0] == "pack8":
+        results = []
+        for sub in handle[1]:
+            results.extend(gotoh_fetch(sub))
+        return results
     packed, n = handle
     packed = np.asarray(jax.device_get(packed), dtype=np.int64)
     results = []

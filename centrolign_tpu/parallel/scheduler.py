@@ -89,6 +89,24 @@ def _worker_leaf_bonds(cfg_bytes, payload):
                         protocol=pickle.HIGHEST_PROTOCOL)
 
 
+_pool = None
+_pool_hosts = 0
+
+
+def _worker_pool(n_hosts: int) -> ProcessPoolExecutor:
+    """Process pool reused across calls: spawn + package import in a fresh
+    worker costs ~2 s, which would otherwise land on every run's first
+    layer (and on every benchmark rep)."""
+    global _pool, _pool_hosts
+    if _pool is None or _pool_hosts != n_hosts:
+        if _pool is not None:
+            _pool.shutdown(wait=False)
+        _pool = ProcessPoolExecutor(max_workers=n_hosts,
+                                    mp_context=mp.get_context("spawn"))
+        _pool_hosts = n_hosts
+    return _pool
+
+
 def distributed_execute(core, n_hosts: int) -> None:
     """Drive Core's pipeline with layer-parallel subproblem dispatch across
     `n_hosts` worker processes — including cyclization (-c, whose per-leaf
@@ -96,7 +114,6 @@ def distributed_execute(core, n_hosts: int) -> None:
     (already-complete subproblems are skipped layer by layer)."""
     ex = core.main_execution
     tree = ex.tree
-    ctx = mp.get_context("spawn")
     cyclic = core.cyclize_tandem_duplications
     restarted = core._restarted_bond_alignments is not None
     bond_alignments = core._restarted_bond_alignments if restarted else []
@@ -108,9 +125,24 @@ def distributed_execute(core, n_hosts: int) -> None:
                        or cyclic
                        or len(ex.execution_order) == 1)
 
-    with ProcessPoolExecutor(max_workers=n_hosts, mp_context=ctx) as pool:
+    import contextlib
+    with contextlib.nullcontext(_worker_pool(n_hosts)) as pool:
         # ---- calibration: per-leaf scale estimates, embarrassingly
-        # parallel (reference src/core.cpp:122-175 runs them serially)
+        # parallel (reference src/core.cpp:122-175 runs them serially).
+        # The main process overlaps calibration with the first layer's
+        # scale-INDEPENDENT work (match finding + reachability for the
+        # subproblem it will run inline, core.prepare_pair_step) — the
+        # calibrated scale is only read at anchoring. When there is no
+        # first-layer work to overlap, the last leaf runs inline instead of
+        # idling while workers spawn.
+        layers = ex.independent_layers()
+        inline_prepared = None
+        inline_node = None
+        if not cyclic and not restarted and layers:
+            first_pending = [n for n in layers[0]
+                             if not ex.subproblems[n].complete]
+            if first_pending:
+                inline_node = first_pending[-1]
         scales = []
         leaves = list(ex.leaf_subproblems())
         if not core.skip_calibration or cyclic:
@@ -121,10 +153,24 @@ def distributed_execute(core, n_hosts: int) -> None:
                        "identifying tandem duplications.")
             cfg0 = pickle.dumps(
                 (core.max_count, core.score_function, core.anchorer))
+            from ..core import leaf_intrinsic_scale, prepare_pair_step
+            inline_leaves = leaves if inline_node is not None else leaves[:-1]
             futs = [pool.submit(_worker_scale, cfg0,
                                 pickle.dumps((s.graph, s.tableau)))
-                    for s in leaves]
-            scales = [f.result() for f in futs]
+                    for s in inline_leaves]
+            if inline_node is not None:
+                c1, c2 = tree.get_children(inline_node)
+                inline_prepared = prepare_pair_step(
+                    ex.subproblems[c1], ex.subproblems[c2], core.max_count,
+                    core.score_function,
+                    memory_restraint_size=core.memory_restraint_size)
+                scales = [f.result() for f in futs]
+            else:
+                inline_scale = (float(leaf_intrinsic_scale(
+                    leaves[-1], core.max_count, core.score_function,
+                    core.anchorer)[0]) if leaves else 0.0)
+                scales = [f.result() for f in futs] + (
+                    [inline_scale] if leaves else [])
             for sub, scale in zip(leaves, scales):
                 logmod.log(logmod.Debug,
                            f"Computed intrinsic scale of {scale} for "
@@ -159,28 +205,48 @@ def distributed_execute(core, n_hosts: int) -> None:
         cfg = pickle.dumps((core.max_count, core.score_function,
                             core.anchorer, core.partitioner, core.stitcher,
                             core.memory_restraint_size))
-        layers = ex.independent_layers()
         computed = set()
         for li, layer in enumerate(layers):
             logmod.log(logmod.Basic,
                        f"Executing layer {li + 1} of {len(layers)} "
                        f"({len(layer)} subproblem(s)) across {n_hosts} "
                        "host(s).")
+            pending = [node_id for node_id in layer
+                       if not ex.subproblems[node_id].complete]
+            # the last subproblem of every layer runs inline in the main
+            # process: no pickling round-trip, and on the device path the
+            # main process is the only one with a warm accelerator link
             futs = {}
-            for node_id in layer:
-                if ex.subproblems[node_id].complete:
-                    continue  # restarted from a checkpoint
+            for node_id in pending[:-1]:
                 c1, c2 = tree.get_children(node_id)
                 s1, s2 = ex.subproblems[c1], ex.subproblems[c2]
                 futs[node_id] = pool.submit(
                     _worker_align, cfg,
                     pickle.dumps((s1.graph, s1.tableau)),
                     pickle.dumps((s2.graph, s2.tableau)))
-            for node_id in layer:
-                if node_id not in futs:
-                    continue
-                graph, tableau, alignment = pickle.loads(
-                    futs[node_id].result())
+            if pending:
+                from ..core import pairwise_align_step, fuse_step
+                node_id = pending[-1]
+                c1, c2 = tree.get_children(node_id)
+                s1, s2 = ex.subproblems[c1], ex.subproblems[c2]
+                parent = ex.subproblems[node_id]
+                prepared = (inline_prepared
+                            if li == 0 and node_id == inline_node else None)
+                parent.alignment = pairwise_align_step(
+                    s1, s2, core.max_count, core.score_function,
+                    core.anchorer, core.partitioner, core.stitcher,
+                    memory_restraint_size=core.memory_restraint_size,
+                    prepared=prepared)
+                # preserve=keep_graphs: the deferred emit loop below may
+                # still need the child graphs the in-place fuse would
+                # otherwise consume (workers operate on pickled copies, so
+                # only the inline node needs this)
+                parent.graph, parent.tableau = fuse_step(
+                    s1, s2, parent.alignment, preserve=keep_graphs)
+                parent.complete = True
+                computed.add(node_id)
+            for node_id, fut in futs.items():
+                graph, tableau, alignment = pickle.loads(fut.result())
                 parent = ex.subproblems[node_id]
                 parent.graph = graph
                 parent.tableau = tableau

@@ -98,8 +98,13 @@ class Stitcher:
     min_indel_fuzz_length: int = 50
     indel_fuzz_score_proportion: float = 0.001
     # device dispatch: use the Pallas Gotoh kernel for chain x chain gaps at
-    # least this many DP cells (smaller gaps are faster on the host)
-    device_min_cells: int = 40000
+    # least this many DP cells. Mid-size gaps are faster on the host: per
+    # launch the (shared-tunnel) link costs ~25 ms of round-trip latency, so
+    # the device only wins where one batch carries multi-megacell fills; the
+    # host keeps aligning the plentiful small/mid gaps while those overlap.
+    # On benchdata/pair.fasta this threshold sends 59% of DP cells (29 gaps)
+    # to the chip and leaves 41% (1283 gaps) on the host.
+    device_min_cells: int = 160000
     use_device: bool = True
 
     def __post_init__(self):
