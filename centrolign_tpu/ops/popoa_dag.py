@@ -55,8 +55,14 @@ _I64 = np.int64
 _NEG = np.int32(MININF)
 _NEG_HALF = np.int32(MININF // 2)
 
-K_MAX = 4   # real predecessor slots; slot index K == boundary
-S_MAX = 8   # max topological edge span
+# Envelope: graphs beyond these fall back to the native engine. Per-job
+# compile buckets already quantize K/S to powers of two, so widening the
+# caps only admits the (rare) denser gap graphs — their per-diagonal cost
+# grows as K x S masked rotations, still far below a host fallback once the
+# bucket is compiled (VERDICT r2 #4 measured 2.77M fallback cells on the
+# 10-seq set at K<=4/S<=8).
+K_MAX = 8    # real predecessor slots; slot index K == boundary
+S_MAX = 32   # max topological edge span
 
 
 def _pow2_bucket(n: int, quantum: int) -> int:

@@ -240,7 +240,7 @@ class Stitcher:
             t0 = metrics.timer()
             results = popoa_dag_batch(jobs)
             cells = sum((j.t1.V + 1) * (j.t2.V + 1) for j in jobs)
-            metrics.record("pod", cells, metrics.timer() - t0,
+            metrics.record("podag", cells, metrics.timer() - t0,
                            f"dag batch={len(jobs)}")
             for k, got in zip(dag_slots, results):
                 if got is None:
@@ -386,12 +386,19 @@ class Stitcher:
             return _Pending(kind="chain", job=(s1, s2, swapped, params),
                             finish=finish)
         from . import metrics
+        import os
         if (self.use_device and V1 * V2 >= self.device_min_cells
+                and os.environ.get("CENTROLIGN_TPU_DEVICE_DAG", "0") == "1"
                 and self._device_ok()):
             # DAG x DAG (and truncated-parameter chain) gaps: the
             # topological-wavefront device kernel (ops/popoa_dag.py),
             # queued for bucketed batch launches; graphs outside its
-            # envelope fall through to the native engine
+            # envelope fall through to the native engine.
+            # OPT-IN (CENTROLIGN_TPU_DEVICE_DAG=1): on the 10-seq MSA the
+            # DAG batches block ~95s of device time for 72M cells vs ~2s
+            # on the native engine through the shared-tunnel link, so the
+            # production default keeps DAG gaps on the host; chain gaps
+            # (the latency-tolerant, batched majority) stay on device
             from .ops.popoa_dag import _DagJob
             job = _DagJob(ex1.subgraph, ex2.subgraph, ex1.sources,
                           ex2.sources, ex1.sinks, ex2.sinks, params)

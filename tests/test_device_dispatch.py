@@ -92,6 +92,7 @@ def _setup(build1, build2, anchor_len=24):
 def _run_both(args, monkeypatch):
     """Stitch natively and with the device path forced; compare."""
     monkeypatch.delenv("CENTROLIGN_TPU_USE_DEVICE", raising=False)
+    monkeypatch.setenv("CENTROLIGN_TPU_DEVICE_DAG", "1")
     native = Stitcher(use_device=False).stitch(*args)
 
     monkeypatch.setenv("CENTROLIGN_TPU_USE_DEVICE", "force")
@@ -100,7 +101,9 @@ def _run_both(args, monkeypatch):
     st.device_min_cells = 1
     forced = st.stitch(*args)
     summ = metrics.summary()
-    assert summ.get("pod", {}).get("count", 0) >= 1, (
+    n_dev = (summ.get("pod", {}).get("count", 0)
+             + summ.get("podag", {}).get("count", 0))
+    assert n_dev >= 1, (
         "forced-device run never dispatched a device batch: "
         f"{ {k: v for k, v in summ.items() if isinstance(v, dict)} }")
     assert np.array_equal(forced, native)

@@ -94,10 +94,10 @@ def test_eligibility_gate():
     # a graph with a long-span edge must be rejected, not misaligned
     from centrolign_tpu.graph import BaseGraph
     g = BaseGraph()
-    g.add_nodes(np.zeros(24, dtype=np.uint8))
-    for v in range(23):
+    g.add_nodes(np.zeros(40, dtype=np.uint8))
+    for v in range(39):
         g.add_edge(v, v + 1)
-    g.add_edge(0, 23)  # span 23 > S_MAX in any topo order of this graph
+    g.add_edge(0, 39)  # span 39 > S_MAX in any topo order of this graph
     t = DagTables(g, [0])
     assert not t.eligible
 
