@@ -16,8 +16,17 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp", "cactus_snarls.cpp", "fill_in.cpp"]
-_SO = os.path.join(_DIR, "_native.so")
-_HASH = os.path.join(_DIR, "_native.hash")
+
+# Sanitizer tier (the reference's -DDEV=ON builds everything with
+# ASan+UBSan, reference CMakeLists.txt:19-25): CENTROLIGN_TPU_NATIVE_SANITIZE=1
+# compiles the native runtime with -fsanitize=address,undefined into a
+# separate shared object. Loading it requires the sanitizer runtimes to be
+# preloaded into the host process (LD_PRELOAD=libasan.so:libubsan.so) —
+# tests/test_sanitizer_tier.py drives a full pipeline run this way.
+_SANITIZE = os.environ.get("CENTROLIGN_TPU_NATIVE_SANITIZE", "0") == "1"
+_SUFFIX = "_san" if _SANITIZE else ""
+_SO = os.path.join(_DIR, f"_native{_SUFFIX}.so")
+_HASH = os.path.join(_DIR, f"_native{_SUFFIX}.hash")
 
 _lib = None
 
@@ -31,7 +40,12 @@ def _source_hash() -> str:
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
+    if _SANITIZE:
+        opt = ["-O1", "-g", "-fsanitize=address,undefined",
+               "-fno-sanitize-recover=all"]
+    else:
+        opt = ["-O3"]
+    cmd = ["g++", *opt, "-std=c++17", "-fPIC", "-shared", "-fopenmp",
            "-o", _SO]
     cmd += [os.path.join(_DIR, s) for s in _SOURCES]
     try:
