@@ -136,3 +136,64 @@ def test_distributed_restart_matches_serial(tmp_path):
     biggest.unlink()
     out_dist = _run_cyclic(fa, dist_dir, ["--hosts", "3", "-R"])
     assert out_dist == out_ser == out_first, "restarted GFA differs"
+
+
+def _run_fail(fa, out_dir, extra, fail_mode, cyclic=False):
+    env = dict(os.environ, CENTROLIGN_TPU_USE_DEVICE="0",
+               CENTROLIGN_TPU_TEST_WORKER_FAIL=fail_mode)
+    cyc = ["-c", "-y", "900"] if cyclic else []
+    r = subprocess.run(
+        [sys.executable, "-m", "centrolign_tpu.cli", "-v", "1", *cyc,
+         "-s", str(out_dir / "sub.txt"), "-S", str(out_dir / "cp"),
+         *extra, str(fa)],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-1500:]
+    return r.stdout, r.stderr
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fail_mode", ["1", "2"])
+def test_worker_failure_recovery(tmp_path, fail_mode):
+    """Elastic recovery: with every worker task failing — mode 1 raises in
+    the task, mode 2 kills the worker process outright (broken pool) — the
+    scheduler recomputes each subproblem inline and the outputs stay
+    byte-identical to the serial run."""
+    fa = tmp_path / "in.fa"
+    _make_fasta(fa, 5, seed=17)
+    ser_dir = tmp_path / "ser"
+    fail_dir = tmp_path / "fail"
+    ser_dir.mkdir()
+    fail_dir.mkdir()
+    out_ser = _run(fa, ser_dir, [])
+    out_fail, err = _run_fail(fa, fail_dir, ["--hosts", "3"], fail_mode)
+    assert "Worker failed" in err, "recovery path never engaged"
+    assert out_ser == out_fail, "stdout GFA differs after worker failures"
+    assert ((ser_dir / "sub.txt").read_text()
+            == (fail_dir / "sub.txt").read_text()), "-s output differs"
+    ser_files = sorted(p.name for p in ser_dir.iterdir())
+    fail_files = sorted(p.name for p in fail_dir.iterdir())
+    assert ser_files == fail_files
+    for name in ser_files:
+        a = (ser_dir / name).read_text()
+        b = (fail_dir / name).read_text()
+        if name == "cp_info.txt":
+            a = a.replace(str(ser_dir), "")
+            b = b.replace(str(fail_dir), "")
+        assert a == b, f"-S file {name} differs"
+
+
+@pytest.mark.slow
+def test_worker_failure_recovery_cyclic(tmp_path):
+    """-c with failing workers: the per-leaf bonding rounds recompute
+    inline and the cyclized GFA matches the serial run."""
+    fa = tmp_path / "in.fa"
+    _make_tandem_fasta(fa, 3, seed=53)
+    ser_dir = tmp_path / "ser"
+    fail_dir = tmp_path / "fail"
+    ser_dir.mkdir()
+    fail_dir.mkdir()
+    out_ser = _run_cyclic(fa, ser_dir, [])
+    out_fail, err = _run_fail(fa, fail_dir, ["--hosts", "3"], "1",
+                              cyclic=True)
+    assert "Worker failed" in err, "recovery path never engaged"
+    assert out_ser == out_fail, "cyclized GFA differs after worker failures"
