@@ -48,7 +48,7 @@ def summary() -> dict:
     total_sec = 0.0
     for tag, (n, cells, sec) in counters.items():
         out[tag] = {"count": n, "cells": cells, "seconds": round(sec, 4)}
-        if tag in ("po", "pod", "podag"):
+        if tag in ("po", "pod", "podag", "posh"):
             total_cells += cells
             total_sec += sec
     out["dp_cells"] = total_cells

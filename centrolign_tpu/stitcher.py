@@ -67,6 +67,24 @@ def translate_alignment(aln: np.ndarray, back1, back2) -> np.ndarray:
     return out
 
 
+_MESH_CACHE = [None, False]  # (mesh, probed)
+
+
+def _alignment_mesh():
+    """A flat ('gap' x 'lane') mesh over every default-backend device, built
+    once; None on single-device hosts (the common case — the sharded path
+    only engages on a real multi-chip slice or the virtual CPU mesh)."""
+    if _MESH_CACHE[1]:
+        return _MESH_CACHE[0]
+    import jax
+    devs = jax.devices()
+    if len(devs) >= 2:
+        from .parallel.sharded_gotoh import make_alignment_mesh
+        _MESH_CACHE[0] = make_alignment_mesh(len(devs), gap_axis=1)
+    _MESH_CACHE[1] = True
+    return _MESH_CACHE[0]
+
+
 def _is_chain(sub: SubGraphInfo) -> bool:
     g = sub.subgraph
     if g.node_size == 0:
@@ -105,6 +123,12 @@ class Stitcher:
     # On benchdata/pair.fasta this threshold sends 59% of DP cells (29 gaps)
     # to the chip and leaves 41% (1283 gaps) on the host.
     device_min_cells: int = 160000
+    # sequence-parallel tier (SURVEY §5.7): a single chain x chain gap at
+    # least this many DP cells is lane-sharded across ALL devices of the
+    # mesh with per-diagonal ppermute halo exchange
+    # (parallel/sharded_gotoh.py) instead of filling on one chip. Only
+    # engages when >= 2 devices exist, so single-chip hosts are unaffected.
+    shard_min_cells: int = 16000000
     use_device: bool = True
 
     def __post_init__(self):
@@ -114,6 +138,9 @@ class Stitcher:
         mc = os.environ.get("CENTROLIGN_TPU_DEVICE_MIN_CELLS")
         if mc is not None:
             self.device_min_cells = int(mc)
+        sc = os.environ.get("CENTROLIGN_TPU_SHARD_MIN_CELLS")
+        if sc is not None:
+            self.shard_min_cells = int(sc)
         self._begin_dispatch()
 
     def _device_ok(self) -> bool:
@@ -361,7 +388,32 @@ class Stitcher:
         return aln
 
     def _po_poa(self, ex1, ex2, params, swapped: bool = False):
+        from . import metrics
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
+        if (self.use_device and V1 * V2 >= self.shard_min_cells
+                and _is_chain(ex1) and _is_chain(ex2)
+                and self._device_ok() and _alignment_mesh() is not None):
+            # one matrix too big for a single chip's launch: lane-shard the
+            # wavefront across the whole mesh (ICI halo exchange), traceback
+            # on the host — bit-identical to the single-chip kernel
+            from .parallel.sharded_gotoh import sharded_gotoh_align
+            mesh = _alignment_mesh()
+            order1 = _chain_order(ex1)
+            order2 = _chain_order(ex2)
+            s1 = ex1.subgraph.labels[order1].astype(np.int32)
+            s2 = ex2.subgraph.labels[order2].astype(np.int32)
+            t0 = metrics.timer()
+            aln, _score = sharded_gotoh_align(s1, s2, params, mesh,
+                                              swap_pref=swapped)
+            out = aln.copy()
+            m1 = out[:, 0] != GAP
+            m2 = out[:, 1] != GAP
+            out[m1, 0] = order1[out[m1, 0]]
+            out[m2, 1] = order2[out[m2, 1]]
+            metrics.record("posh", (V1 + 1) * (V2 + 1),
+                           metrics.timer() - t0,
+                           f"{V1}x{V2} devices={mesh.devices.size}")
+            return out
         if (self.use_device and V1 * V2 >= self.device_min_cells
                 and _is_chain(ex1) and _is_chain(ex2)
                 and self._device_ok()):

@@ -166,3 +166,27 @@ def test_forced_device_mixed_batch(monkeypatch):
                  mk(ids1[-AL:], ids2[-AL:])]]
     args = (segments, g1, g2, t1, t2, xm1, xm2)
     _run_both(args, monkeypatch)
+
+
+def test_sharded_gap_through_stitch(monkeypatch):
+    """Sequence-parallel tier (SURVEY §5.7) reachable from production: a
+    chain x chain gap >= shard_min_cells lane-shards across the whole
+    device mesh (8 virtual CPU devices here) inside Stitcher.stitch and
+    must equal the native PO-POA byte-for-byte."""
+    rng = np.random.default_rng(4242)
+    s1, s2 = _seqs(rng, mid_len=500)
+    args = _setup(_chain_graph(s1), _chain_graph(s2))
+
+    monkeypatch.delenv("CENTROLIGN_TPU_USE_DEVICE", raising=False)
+    native = Stitcher(use_device=False).stitch(*args)
+
+    monkeypatch.setenv("CENTROLIGN_TPU_USE_DEVICE", "force")
+    metrics.reset()
+    st = Stitcher()
+    st.shard_min_cells = 1000  # force the mid gap onto the sharded tier
+    sharded = st.stitch(*args)
+    summ = metrics.summary()
+    assert summ.get("posh", {}).get("count", 0) >= 1, (
+        "sharded tier never engaged: "
+        f"{ {k: v for k, v in summ.items() if isinstance(v, dict)} }")
+    assert np.array_equal(sharded, native)
