@@ -435,6 +435,49 @@ struct MultiMaxTreeP {
         }
     }
 
+    // build from data ALREADY sorted by key (ties in caller's stable
+    // order): skips the sort, computes channel 0's submax spine once and
+    // copies it — every channel starts from the identical (value, ident)
+    // entries, so their built states are identical by construction.
+    void build_from_sorted(const std::vector<std::pair<K, CrossVal>>& data) {
+        key.resize(data.size());
+        ident.resize(data.size());
+        for (int c = 0; c < NCH; ++c) {
+            val_ch[c].resize(data.size());
+            sm_ch[c].resize(data.size());
+        }
+        if (data.empty()) return;
+        i64 vec_idx = 0;
+        std::vector<std::pair<i64, bool>> stack;
+        stack.emplace_back(0, false);
+        while (!stack.empty()) {
+            auto& top = stack.back();
+            if (!top.second) {
+                top.second = true;
+                i64 l = left(top.first);
+                if (l < size()) stack.emplace_back(l, false);
+            } else {
+                key[top.first] = data[vec_idx].first;
+                ident[top.first] = (u32)data[vec_idx].second.second;
+                val_ch[0][top.first] = data[vec_idx].second.first;
+                sm_ch[0][top.first] = (u32)top.first;
+                ++vec_idx;
+                i64 r = right(top.first);
+                stack.pop_back();
+                if (r < size()) stack.emplace_back(r, false);
+            }
+        }
+        for (i64 i = size() - 1; i > 0; --i) {
+            i64 par = parent(i);
+            if (gtr(0, sm_ch[0][i], sm_ch[0][par]))
+                sm_ch[0][par] = sm_ch[0][i];
+        }
+        for (int c = 1; c < NCH; ++c) {
+            val_ch[c] = val_ch[0];
+            sm_ch[c] = sm_ch[0];
+        }
+    }
+
     void reidentify(int c, i64 x) {
         i64 nm = x;
         i64 l = left(x), r = right(x);
@@ -861,49 +904,18 @@ struct MultiOrthoTreeP {
         for (i64 c = 0; c < n; c = left(c)) make_cross[c] = false;
         for (i64 c = right(0); c < n; c = right(c)) make_cross[c] = false;
 
-        struct Frame {
-            i64 node;
-            std::vector<std::tuple<K1, K2, f32>> vals;
-            std::vector<i64> idxs;
-        };
-        std::vector<Frame> stack;
-        stack.push_back({0, data, std::move(indexes)});
-        while (!stack.empty()) {
-            Frame fr = std::move(stack.back());
-            stack.pop_back();
-            i64 nno = fr.node;
-            std::tuple<K1, K2, f32> pivot(key1[nno], key2[nno],
-                                          value[0][nno]);
-            std::vector<std::tuple<K1, K2, f32>> lv, rv;
-            std::vector<i64> li, ri;
-            std::vector<std::pair<K2, CrossVal>> cvals;
-            cvals.reserve(fr.vals.size());
-            for (size_t i = 0; i < fr.vals.size(); ++i) {
-                const auto& val = fr.vals[i];
-                cvals.emplace_back(std::get<1>(val),
-                                   CrossVal(std::get<2>(val), fr.idxs[i]));
-                if (val < pivot) {
-                    lv.push_back(val);
-                    li.push_back(fr.idxs[i]);
-                } else if (val > pivot) {
-                    rv.push_back(val);
-                    ri.push_back(fr.idxs[i]);
-                }
-            }
-            if (make_cross[nno]) {
-                cross[nno].build(cvals);
-                for (i64 pos = 0; pos < cross[nno].size(); ++pos) {
-                    cross_pos[cross[nno].ident[pos]].emplace_back(
-                        nno, pos);
-                }
-            }
-            i64 l = left(nno);
-            if (l < n) {
-                stack.push_back({l, std::move(lv), std::move(li)});
-                i64 r = right(nno);
-                if (r < n) stack.push_back({r, std::move(rv), std::move(ri)});
-            }
-        }
+        // Each node's subtree is a CONTIGUOUS RANGE of the sorted data (the
+        // in-order fill above guarantees it), so the reference's downward
+        // divvy-by-pivot is replaced with range recursion: no element
+        // copies, and each node's key2-sorted cross input is produced by
+        // stably merging its children's lists around the pivot. Ties in
+        // key2 resolve by sorted position — exactly the order the
+        // reference's per-node stable_sort of the (position-ordered)
+        // frame produces — so every cross tree is built from the
+        // identical entry sequence.
+        std::vector<i64> cnt(n, 1);
+        for (i64 i = n - 1; i >= 1; --i) cnt[parent(i)] += cnt[i];
+        _divvy(0, 0, n, data, indexes, make_cross, cnt);
         // flatten memberships to CSR and free the nested vectors
         cp_ptr.assign(n + 1, 0);
         for (i64 i = 0; i < n; ++i) cp_ptr[i + 1] = cp_ptr[i] + (u32)cross_pos[i].size();
@@ -918,6 +930,53 @@ struct MultiOrthoTreeP {
         }
         cross_pos.clear();
         cross_pos.shrink_to_fit();
+    }
+
+    // key2-sorted subtree list of node x (sorted range [lo, hi)); builds
+    // the cross tree at x on the way up. Recursion depth = tree height
+    // (the layout is a complete binary tree: <= ~21 for the reference's
+    // 1.25M match-pair budget).
+    std::vector<std::pair<K2, CrossVal>> _divvy(
+            i64 x, i64 lo, i64 hi,
+            const std::vector<std::tuple<K1, K2, f32>>& data,
+            const std::vector<i64>& indexes,
+            const std::vector<bool>& make_cross,
+            const std::vector<i64>& cnt) {
+        i64 n = size();
+        i64 l = left(x), r = right(x);
+        i64 p = lo + (l < n ? cnt[l] : 0);
+        std::vector<std::pair<K2, CrossVal>> lv, rv;
+        if (l < n) lv = _divvy(l, lo, p, data, indexes, make_cross, cnt);
+        if (r < n) rv = _divvy(r, p + 1, hi, data, indexes, make_cross, cnt);
+        std::pair<K2, CrossVal> piv(
+            std::get<1>(data[p]),
+            CrossVal(std::get<2>(data[p]), indexes[p]));
+        std::vector<std::pair<K2, CrossVal>> out;
+        out.reserve(hi - lo);
+        size_t i = 0, j = 0;
+        bool piv_in = false;
+        // 3-way stable merge by key2; ties keep position order, which is
+        // lv (positions < p), then piv, then rv (positions > p)
+        while (i < lv.size() || j < rv.size() || !piv_in) {
+            if (i < lv.size()
+                && (piv_in || !(piv.first < lv[i].first))
+                && (j >= rv.size() || !(rv[j].first < lv[i].first))) {
+                out.push_back(lv[i++]);
+            } else if (!piv_in
+                       && (j >= rv.size() || !(rv[j].first < piv.first))) {
+                out.push_back(piv);
+                piv_in = true;
+            } else {
+                out.push_back(rv[j++]);
+            }
+        }
+        if (make_cross[x]) {
+            cross[x].build_from_sorted(out);
+            for (i64 pos = 0; pos < cross[x].size(); ++pos) {
+                cross_pos[cross[x].ident[pos]].emplace_back(x, pos);
+            }
+        }
+        return out;
     }
 
     i64 find(const K1& k1, const K2& k2) const {
