@@ -9,7 +9,10 @@
 // answered offline with a Fenwick sweep over prev-occurrence positions
 // (distinct(c, b, e) = #{i in [b,e] : comp[i]=c, prev_occ[i] < b}).
 
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -172,22 +175,35 @@ i64 esa_minimal_rare_matches(
         const int8_t* start_comp,   // component per SA position
         const i64* start_id,        // start node id per SA position
         i64 max_count, i64 max_out, i64* out) {
-    // prev same-(comp,id) occurrence in SA order
-    std::vector<i64> order(n), prev_occ(n, -1);
-    for (i64 i = 0; i < n; ++i) order[i] = i;
-    std::sort(order.begin(), order.end(), [&](i64 a, i64 b) {
-        if (start_comp[a] != start_comp[b]) return start_comp[a] < start_comp[b];
-        if (start_id[a] != start_id[b]) return start_id[a] < start_id[b];
-        return a < b;
-    });
-    for (i64 k = 1; k < n; ++k) {
-        i64 a = order[k - 1], b = order[k];
-        if (start_comp[a] == start_comp[b] && start_id[a] == start_id[b])
-            prev_occ[b] = a;
+    const bool timing = getenv("ESA_DEBUG") != nullptr;
+    auto tick = std::chrono::steady_clock::now();
+    auto lap = [&](const char* what) {
+        if (!timing) return;
+        auto now = std::chrono::steady_clock::now();
+        fprintf(stderr, "[esa] %s: %.2fs\n", what,
+                std::chrono::duration<double>(now - tick).count());
+        tick = now;
+    };
+    // prev same-(comp,id) occurrence in SA order: one linear pass with a
+    // flat last-seen table per component (ids are node ids, dense)
+    std::vector<i64> prev_occ(n, -1);
+    {
+        i64 max_id = -1;
+        for (i64 i = 0; i < n; ++i)
+            if (start_id[i] > max_id) max_id = start_id[i];
+        std::vector<i64> last0(max_id + 1, -1), last1(max_id + 1, -1);
+        for (i64 i = 0; i < n; ++i) {
+            i64* last = (start_comp[i] == 0) ? last0.data() : last1.data();
+            prev_occ[i] = last[start_id[i]];
+            last[start_id[i]] = i;
+        }
     }
+    lap("prev_occ");
 
-    SparseMin rmq;
-    rmq.build(lcp, n);
+    // link-interval requests are resolved OFFLINE after the sweep (union-
+    // find over descending lcp thresholds), so no RMQ structure is needed
+    struct LinkReq { i64 qid, q, thr; };  // maximal [lo,hi] ∋ q, lcp >= thr
+    std::vector<LinkReq> link_reqs;
 
     // ---------------- pass A: sweep, enumerate nodes, collect queries ----
     struct Node {
@@ -204,24 +220,12 @@ i64 esa_minimal_rare_matches(
         return (i64)queries.size() - 1;
     };
 
-    auto link_interval = [&](i64 cb, i64 thr, i64* lo_out, i64* hi_out) {
-        if (thr <= 1) { *lo_out = 0; *hi_out = n - 1; return; }
-        i64 t = sa[cb] + 1;
-        i64 q = isa[t];
-        i64 lo_lo = 0, lo_hi = q;
-        while (lo_lo < lo_hi) {
-            i64 mid = (lo_lo + lo_hi) / 2;
-            if (rmq.query(mid + 1, q + 1) >= thr - 1) lo_hi = mid;
-            else lo_lo = mid + 1;
+    auto link_interval = [&](i64 cb, i64 thr, i64 qid) {
+        if (thr <= 1) {
+            queries[qid] = {0, n - 1};
+            return;
         }
-        i64 hi_lo = q, hi_hi = n - 1;
-        while (hi_lo < hi_hi) {
-            i64 mid = (hi_lo + hi_hi + 1) / 2;
-            if (rmq.query(q + 1, mid + 1) >= thr - 1) hi_lo = mid;
-            else hi_hi = mid - 1;
-        }
-        *lo_out = lo_lo;
-        *hi_out = hi_lo;
+        link_reqs.push_back({qid, isa[sa[cb] + 1], thr - 1});
     };
 
     // stack entries: depth, left boundary, children node ids (in order)
@@ -240,9 +244,8 @@ i64 esa_minimal_rare_matches(
             const Node& c = nodes[nd.child_node[k]];
             // link query needed only when L > 1 (cheap enough to always emit)
             if (L > 1) {
-                i64 lo, hi;
-                link_interval(c.b, L, &lo, &hi);
-                nd.child_linkq[k] = add_query(lo, hi);
+                nd.child_linkq[k] = add_query(0, 0);  // filled offline below
+                link_interval(c.b, L, nd.child_linkq[k]);
             }
         }
         nodes.push_back(std::move(nd));
@@ -279,6 +282,55 @@ i64 esa_minimal_rare_matches(
                             std::move(top.children));
         if (!stack.empty()) stack.back().children.push_back(id);
     }
+    lap("lcp-tree sweep");
+
+    // ---------------- offline link intervals ----------------------------
+    // request: maximal [lo, hi] containing SA position q whose internal
+    // boundaries all have lcp >= thr. Process thresholds descending,
+    // union-merging adjacent positions as their boundary lcp becomes
+    // active; each root tracks its interval (replaces per-request binary
+    // searches over an RMQ — O(n a(n)) total).
+    if (!link_reqs.empty()) {
+        std::vector<i64> uf(n), lo_of(n), hi_of(n);
+        for (i64 i = 0; i < n; ++i) uf[i] = lo_of[i] = hi_of[i] = i;
+        auto find = [&](i64 x) {
+            while (uf[x] != x) {
+                uf[x] = uf[uf[x]];
+                x = uf[x];
+            }
+            return x;
+        };
+        // bucket boundaries by lcp value and requests by threshold
+        i64 maxv = 0;
+        for (i64 b = 1; b < n; ++b) maxv = std::max(maxv, lcp[b]);
+        for (const auto& r : link_reqs) maxv = std::max(maxv, r.thr);
+        std::vector<std::vector<i64>> bnd_at(maxv + 1);
+        for (i64 b = 1; b < n; ++b)
+            if (lcp[b] >= 1 && lcp[b] <= maxv) bnd_at[lcp[b]].push_back(b);
+        std::vector<std::vector<i64>> req_at(maxv + 1);
+        for (size_t r = 0; r < link_reqs.size(); ++r) {
+            // thr > maxv can only return the singleton [q, q]
+            if (link_reqs[r].thr <= maxv)
+                req_at[link_reqs[r].thr].push_back((i64)r);
+            else
+                queries[link_reqs[r].qid] = {link_reqs[r].q, link_reqs[r].q};
+        }
+        for (i64 t = maxv; t >= 1; --t) {
+            for (i64 b : bnd_at[t]) {
+                i64 ra = find(b - 1), rb = find(b);
+                if (ra != rb) {
+                    uf[rb] = ra;
+                    lo_of[ra] = std::min(lo_of[ra], lo_of[rb]);
+                    hi_of[ra] = std::max(hi_of[ra], hi_of[rb]);
+                }
+            }
+            for (i64 r : req_at[t]) {
+                i64 root = find(link_reqs[r].q);
+                queries[link_reqs[r].qid] = {lo_of[root], hi_of[root]};
+            }
+        }
+    }
+    lap("link intervals");
 
     // ---------------- offline distinct counts ---------------------------
     // distinct(c, b, e) = F_c(e, b) - F_c(b - 1, b),
@@ -293,8 +345,21 @@ i64 esa_minimal_rare_matches(
             evs.push_back({queries[q].e, queries[q].b, q, +1});
             evs.push_back({queries[q].b - 1, queries[q].b, q, -1});
         }
-        std::sort(evs.begin(), evs.end(),
-                  [](const Ev& a, const Ev& b) { return a.x < b.x; });
+        // counting sort by x (keys are SA positions in [-1, n)): the
+        // comparator sort was the hot spot of this pass
+        {
+            std::vector<i64> cnt(n + 2, 0);
+            for (const Ev& ev : evs) ++cnt[ev.x + 1];
+            i64 run = 0;
+            for (i64 x = 0; x <= n + 1; ++x) {
+                i64 c = cnt[x];
+                cnt[x] = run;
+                run += c;
+            }
+            std::vector<Ev> sorted(evs.size());
+            for (const Ev& ev : evs) sorted[cnt[ev.x + 1]++] = ev;
+            evs.swap(sorted);
+        }
         Fenwick f0(n + 1), f1(n + 1);
         i64 i = 0;
         for (const Ev& ev : evs) {
@@ -308,6 +373,7 @@ i64 esa_minimal_rare_matches(
             ans1[ev.qid] += ev.sign * f1.prefix(ev.thr + 1);
         }
     }
+    lap("fenwick counts");
 
     // ---------------- pass B: replay decisions, emit matches ------------
     std::vector<uint8_t> flag(nodes.size(), 0);
@@ -342,6 +408,7 @@ i64 esa_minimal_rare_matches(
         }
         flag[pi] = any ? 1 : 0;
     }
+    lap("replay");
     return n_matches;
 }
 
