@@ -369,10 +369,12 @@ struct MultiMaxTreeP {
     using CrossVal = std::pair<f32, i64>;
     std::vector<K> key;
     std::vector<u32> ident;
-    std::array<std::vector<f32>, NCH> val_ch;
-    std::array<std::vector<u32>, NCH> sm_ch;
+    // per-node channel blocks (AoS): one cache line serves every channel
+    // the batched queries touch at a node
+    std::vector<std::array<f32, NCH>> val;
+    std::vector<std::array<u32, NCH>> sm;
 
-    inline f32 value_at(int c, i64 i) const { return val_ch[c][i]; }
+    inline f32 value_at(int c, i64 i) const { return val[i][c]; }
 
     static inline i64 left(i64 x) { return 2 * x + 1; }
     static inline i64 right(i64 x) { return 2 * x + 2; }
@@ -382,22 +384,20 @@ struct MultiMaxTreeP {
 
     // (value[c][a], ident[a]) > (value[c][b], ident[b]) lexicographically
     inline bool gtr(int c, i64 a, i64 b) const {
-        f32 va = val_ch[c][a], vb = val_ch[c][b];
+        f32 va = val[a][c], vb = val[b][c];
         return va > vb || (va == vb && ident[a] > ident[b]);
     }
     // (v, id) > (value[c][b], ident[b])
     inline bool gtr_vi(int c, f32 v, u32 id, i64 b) const {
-        f32 vb = val_ch[c][b];
+        f32 vb = val[b][c];
         return v > vb || (v == vb && id > ident[b]);
     }
 
     void build(std::vector<std::pair<K, CrossVal>>& data) {
         key.resize(data.size());
         ident.resize(data.size());
-        for (int c = 0; c < NCH; ++c) {
-            val_ch[c].resize(data.size());
-            sm_ch[c].resize(data.size());
-        }
+        val.resize(data.size());
+        sm.resize(data.size());
         if (data.empty()) return;
         std::stable_sort(data.begin(), data.end(),
                          [](const std::pair<K, CrossVal>& a,
@@ -417,8 +417,8 @@ struct MultiMaxTreeP {
                 key[top.first] = data[vec_idx].first;
                 ident[top.first] = (u32)data[vec_idx].second.second;
                 for (int c = 0; c < NCH; ++c) {
-                    val_ch[c][top.first] = data[vec_idx].second.first;
-                    sm_ch[c][top.first] = (u32)top.first;
+                    val[top.first][c] = data[vec_idx].second.first;
+                    sm[top.first][c] = (u32)top.first;
                 }
                 ++vec_idx;
                 i64 r = right(top.first);
@@ -429,8 +429,8 @@ struct MultiMaxTreeP {
         for (i64 i = size() - 1; i > 0; --i) {
             i64 par = parent(i);
             for (int c = 0; c < NCH; ++c) {
-                if (gtr(c, sm_ch[c][i], sm_ch[c][par]))
-                    sm_ch[c][par] = sm_ch[c][i];
+                if (gtr(c, sm[i][c], sm[par][c]))
+                    sm[par][c] = sm[i][c];
             }
         }
     }
@@ -442,10 +442,8 @@ struct MultiMaxTreeP {
     void build_from_sorted(const std::vector<std::pair<K, CrossVal>>& data) {
         key.resize(data.size());
         ident.resize(data.size());
-        for (int c = 0; c < NCH; ++c) {
-            val_ch[c].resize(data.size());
-            sm_ch[c].resize(data.size());
-        }
+        val.resize(data.size());
+        sm.resize(data.size());
         if (data.empty()) return;
         i64 vec_idx = 0;
         std::vector<std::pair<i64, bool>> stack;
@@ -459,8 +457,8 @@ struct MultiMaxTreeP {
             } else {
                 key[top.first] = data[vec_idx].first;
                 ident[top.first] = (u32)data[vec_idx].second.second;
-                val_ch[0][top.first] = data[vec_idx].second.first;
-                sm_ch[0][top.first] = (u32)top.first;
+                val[top.first][0] = data[vec_idx].second.first;
+                sm[top.first][0] = (u32)top.first;
                 ++vec_idx;
                 i64 r = right(top.first);
                 stack.pop_back();
@@ -469,43 +467,45 @@ struct MultiMaxTreeP {
         }
         for (i64 i = size() - 1; i > 0; --i) {
             i64 par = parent(i);
-            if (gtr(0, sm_ch[0][i], sm_ch[0][par]))
-                sm_ch[0][par] = sm_ch[0][i];
+            if (gtr(0, sm[i][0], sm[par][0]))
+                sm[par][0] = sm[i][0];
         }
-        for (int c = 1; c < NCH; ++c) {
-            val_ch[c] = val_ch[0];
-            sm_ch[c] = sm_ch[0];
+        for (i64 i = 0; i < size(); ++i) {
+            for (int c = 1; c < NCH; ++c) {
+                val[i][c] = val[i][0];
+                sm[i][c] = sm[i][0];
+            }
         }
     }
 
     void reidentify(int c, i64 x) {
         i64 nm = x;
         i64 l = left(x), r = right(x);
-        if (l < size() && gtr(c, sm_ch[c][l], nm)) nm = sm_ch[c][l];
-        if (r < size() && gtr(c, sm_ch[c][r], nm)) nm = sm_ch[c][r];
-        sm_ch[c][x] = (u32)nm;
+        if (l < size() && gtr(c, sm[l][c], nm)) nm = sm[l][c];
+        if (r < size() && gtr(c, sm[r][c], nm)) nm = sm[r][c];
+        sm[x][c] = (u32)nm;
     }
 
     void update(int c, i64 i, const CrossVal& nv) {
         f32 v = nv.first;
         u32 id = (u32)nv.second;
-        if (gtr_vi(c, v, id, sm_ch[c][i])) {
-            sm_ch[c][i] = (u32)i;
+        if (gtr_vi(c, v, id, sm[i][c])) {
+            sm[i][c] = (u32)i;
             i64 here = i;
             while (here != 0) {
                 here = parent(here);
-                if (gtr_vi(c, v, id, sm_ch[c][here])) sm_ch[c][here] = (u32)i;
+                if (gtr_vi(c, v, id, sm[here][c])) sm[here][c] = (u32)i;
                 else break;
             }
-            val_ch[c][i] = v;
+            val[i][c] = v;
         } else {
-            val_ch[c][i] = v;
-            if (sm_ch[c][i] == (u32)i) {
+            val[i][c] = v;
+            if (sm[i][c] == (u32)i) {
                 reidentify(c, i);
                 i64 here = i;
                 while (here != 0) {
                     here = parent(here);
-                    if (sm_ch[c][here] != (u32)i) break;
+                    if (sm[here][c] != (u32)i) break;
                     reidentify(c, here);
                 }
             }
@@ -524,8 +524,8 @@ struct MultiMaxTreeP {
             if (key[lc] >= lo) {
                 if (gtr(c, lc, max_idx)) max_idx = lc;
                 i64 r = right(lc);
-                if (r < size() && gtr(c, sm_ch[c][r], max_idx))
-                    max_idx = sm_ch[c][r];
+                if (r < size() && gtr(c, sm[r][c], max_idx))
+                    max_idx = sm[r][c];
                 lc = left(lc);
             } else {
                 lc = right(lc);
@@ -535,8 +535,8 @@ struct MultiMaxTreeP {
             if (key[rc] < hi) {
                 if (gtr(c, rc, max_idx)) max_idx = rc;
                 i64 l = left(rc);
-                if (l < size() && gtr(c, sm_ch[c][l], max_idx))
-                    max_idx = sm_ch[c][l];
+                if (l < size() && gtr(c, sm[l][c], max_idx))
+                    max_idx = sm[l][c];
                 rc = right(rc);
             } else {
                 rc = left(rc);
@@ -572,7 +572,7 @@ struct MultiMaxTreeP {
                 i64 r = right(lc);
                 if (r < size()) {
                     for (int k = 0; k < m; ++k) {
-                        i64 smr = sm_ch[chans[k]][r];
+                        i64 smr = sm[r][chans[k]];
                         if (gtr(chans[k], smr, max_idx[k])) max_idx[k] = smr;
                     }
                 }
@@ -589,7 +589,7 @@ struct MultiMaxTreeP {
                 i64 l = left(rc);
                 if (l < size()) {
                     for (int k = 0; k < m; ++k) {
-                        i64 sml = sm_ch[chans[k]][l];
+                        i64 sml = sm[l][chans[k]];
                         if (gtr(chans[k], sml, max_idx[k])) max_idx[k] = sml;
                     }
                 }
@@ -854,7 +854,7 @@ struct MultiOrthoTreeP {
     using CrossVal = std::pair<f32, i64>;
     std::vector<K1> key1;
     std::vector<K2> key2;
-    std::array<std::vector<f32>, NCH> value;
+    std::vector<std::array<f32, NCH>> value;  // per-node channel block
     std::vector<MultiMaxTreeP<K2, NCH>> cross;
     // per outer node, its (ancestor cross tree, position) memberships —
     // built as nested vectors, flattened to CSR after build (the update
@@ -871,7 +871,7 @@ struct MultiOrthoTreeP {
         i64 n = (i64)data.size();
         key1.resize(n);
         key2.resize(n);
-        for (int c = 0; c < NCH; ++c) value[c].resize(n);
+        value.resize(n);
         cross.resize(n);
         cross_pos.assign(n, {});
         if (!n) return;
@@ -892,7 +892,7 @@ struct MultiOrthoTreeP {
                     key1[top.first] = std::get<0>(data[vec_idx]);
                     key2[top.first] = std::get<1>(data[vec_idx]);
                     for (int c = 0; c < NCH; ++c)
-                        value[c][top.first] = std::get<2>(data[vec_idx]);
+                        value[top.first][c] = std::get<2>(data[vec_idx]);
                     ++vec_idx;
                     i64 r = right(top.first);
                     stack.pop_back();
@@ -993,7 +993,7 @@ struct MultiOrthoTreeP {
     }
 
     void update(int c, i64 i, f32 nv) {
-        value[c][i] = nv;
+        value[i][c] = nv;
         for (u32 t = cp_ptr[i]; t < cp_ptr[i + 1]; ++t) {
             cross[cp_anc[t]].update(c, cp_pos[t], CrossVal(nv, i));
         }
@@ -1001,7 +1001,7 @@ struct MultiOrthoTreeP {
 
     bool range_max(int ch, const K1& lo1, const K1& hi1, const K2& lo2,
                    const K2& hi2, i64* out_idx) const {
-        const auto& val = value[ch];
+        auto val = [&](i64 i) -> f32 { return value[i][ch]; };
         i64 cursor = 0;
         while (cursor < size() && (key1[cursor] < lo1 || key1[cursor] >= hi1)) {
             cursor = (key1[cursor] >= hi1) ? left(cursor) : right(cursor);
@@ -1016,7 +1016,7 @@ struct MultiOrthoTreeP {
             max_idx = cursor;
         }
         auto cur_val = [&]() -> f32 {
-            return max_at_idx ? val[max_idx]
+            return max_at_idx ? val(max_idx)
                               : max_tree->value_at(ch, max_iter);
         };
         i64 rc = right(cursor), lc = left(cursor);
@@ -1024,7 +1024,7 @@ struct MultiOrthoTreeP {
             if (key1[lc] >= lo1) {
                 if (key2[lc] >= lo2 && key2[lc] < hi2) {
                     bool better = (!max_at_idx && !max_at_iter) ||
-                                  val[lc] > cur_val();
+                                  val(lc) > cur_val();
                     if (better) {
                         max_idx = lc;
                         max_at_idx = true;
@@ -1055,7 +1055,7 @@ struct MultiOrthoTreeP {
             if (key1[rc] < hi1) {
                 if (key2[rc] >= lo2 && key2[rc] < hi2) {
                     bool better = (!max_at_idx && !max_at_iter) ||
-                                  val[rc] > cur_val();
+                                  val(rc) > cur_val();
                     if (better) {
                         max_idx = rc;
                         max_at_idx = true;
@@ -1124,10 +1124,10 @@ struct MultiOrthoTreeP {
         auto consider_node = [&](i64 node) {
             if (key2[node] >= lo2 && key2[node] < hi2) {
                 for (int k = 0; k < m; ++k) {
-                    f32 v = value[chans[k]][node];
+                    f32 v = value[node][chans[k]];
                     bool better = (!at_idx[k] && !at_iter[k]) ||
                                   v > (at_idx[k]
-                                       ? value[chans[k]][max_idx[k]]
+                                       ? value[max_idx[k]][chans[k]]
                                        : max_tree[k]->value_at(
                                              chans[k], max_iter[k]));
                     if (better) {
@@ -1146,7 +1146,7 @@ struct MultiOrthoTreeP {
                     f32 v = cross[sub].value_at(chans[k], its[k]);
                     bool better = (!at_idx[k] && !at_iter[k]) ||
                                   v > (at_idx[k]
-                                       ? value[chans[k]][max_idx[k]]
+                                       ? value[max_idx[k]][chans[k]]
                                        : max_tree[k]->value_at(
                                              chans[k], max_iter[k]));
                     if (better) {
@@ -1195,7 +1195,7 @@ struct MultiOrthoTreeP {
     // per-channel results are unchanged; the ancestor chain is only walked
     // once instead of once per channel).
     void update_multi(int m, const int* chans, i64 i, const f32* nv) {
-        for (int k = 0; k < m; ++k) value[chans[k]][i] = nv[k];
+        for (int k = 0; k < m; ++k) value[i][chans[k]] = nv[k];
         for (u32 t = cp_ptr[i]; t < cp_ptr[i + 1]; ++t) {
             auto& ct = cross[cp_anc[t]];
             for (int k = 0; k < m; ++k)
@@ -1832,7 +1832,7 @@ static i64 affine_impl(
                                 value = f32(dp_val - local_scale *
                                             gap_extend[pw / 2] * (double)shift);
                             }
-                            if (value > tree.value[pw][node]) {
+                            if (value > tree.value[node][pw]) {
                                 chans[m] = pw;
                                 vals[m] = value;
                                 ++m;
@@ -1901,7 +1901,7 @@ static i64 affine_impl(
                             if (ofound[k]) {
                                 i64 oi = oidx[k];
                                 f32 value = f32(
-                                    (double)f32(tree.value[pw][oi] + weight) -
+                                    (double)f32(tree.value[oi][pw] + weight) -
                                     local_scale * (gap_open[pw / 2] +
                                                    gap_extend[pw / 2] *
                                                        (double)query));
@@ -1911,7 +1911,7 @@ static i64 affine_impl(
                             if (efound[k]) {
                                 i64 oi = eidx[k];
                                 f32 value = f32(
-                                    (double)f32(tree.value[pw][oi] + weight) -
+                                    (double)f32(tree.value[oi][pw] + weight) -
                                     local_scale * (gap_open[pw / 2] -
                                                    gap_extend[pw / 2] *
                                                        (double)query));
