@@ -663,6 +663,8 @@ class Core:
                 sub2.graph = None
             if self.subproblems_prefix and is_main_execution:
                 self.emit_subproblem(parent)
+            from .native import malloc_trim
+            malloc_trim()
             log_memory_usage(logmod.Verbose)
 
     def align(self, matches, sub1: Subproblem, sub2: Subproblem, xm1, xm2,

@@ -31,6 +31,16 @@ _HASH = os.path.join(_DIR, f"_native{_SUFFIX}.hash")
 _lib = None
 
 
+def malloc_trim() -> None:
+    """Release freed native-heap arenas to the OS (no-op off glibc). Called
+    between subproblems: the chain DP's small-block churn otherwise retains
+    tens of GB across the big late-tree joins."""
+    try:
+        get_lib().native_malloc_trim()
+    except Exception:
+        pass
+
+
 def _source_hash() -> str:
     h = hashlib.sha256()
     for s in _SOURCES:

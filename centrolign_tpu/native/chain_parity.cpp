@@ -13,6 +13,7 @@
 // (repetitive DNA produces many equal-scoring chains).
 
 #include <cstdint>
+#include <malloc.h>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -369,12 +370,15 @@ struct MultiMaxTreeP {
     using CrossVal = std::pair<f32, i64>;
     std::vector<K> key;
     std::vector<u32> ident;
-    // per-node channel blocks (AoS): one cache line serves every channel
-    // the batched queries touch at a node
-    std::vector<std::array<f32, NCH>> val;
+    // Entry values are NOT copied into the cross tree: `ident` indexes the
+    // owning ortho tree's per-node channel blocks (`ov`), which the caller
+    // updates BEFORE the cross submax fix. This halves the dominant memory
+    // term of the affine chain DP (cross occurrences are O(E log E); at the
+    // 50-seq root join the stored-value variant exceeded 115 GB).
+    const std::array<f32, NCH>* ov = nullptr;
     std::vector<std::array<u32, NCH>> sm;
 
-    inline f32 value_at(int c, i64 i) const { return val[i][c]; }
+    inline f32 value_at(int c, i64 i) const { return ov[ident[i]][c]; }
 
     static inline i64 left(i64 x) { return 2 * x + 1; }
     static inline i64 right(i64 x) { return 2 * x + 2; }
@@ -384,65 +388,25 @@ struct MultiMaxTreeP {
 
     // (value[c][a], ident[a]) > (value[c][b], ident[b]) lexicographically
     inline bool gtr(int c, i64 a, i64 b) const {
-        f32 va = val[a][c], vb = val[b][c];
+        f32 va = ov[ident[a]][c], vb = ov[ident[b]][c];
         return va > vb || (va == vb && ident[a] > ident[b]);
     }
     // (v, id) > (value[c][b], ident[b])
     inline bool gtr_vi(int c, f32 v, u32 id, i64 b) const {
-        f32 vb = val[b][c];
+        f32 vb = ov[ident[b]][c];
         return v > vb || (v == vb && id > ident[b]);
-    }
-
-    void build(std::vector<std::pair<K, CrossVal>>& data) {
-        key.resize(data.size());
-        ident.resize(data.size());
-        val.resize(data.size());
-        sm.resize(data.size());
-        if (data.empty()) return;
-        std::stable_sort(data.begin(), data.end(),
-                         [](const std::pair<K, CrossVal>& a,
-                            const std::pair<K, CrossVal>& b) {
-                             return a.first < b.first;
-                         });
-        i64 vec_idx = 0;
-        std::vector<std::pair<i64, bool>> stack;
-        stack.emplace_back(0, false);
-        while (!stack.empty()) {
-            auto& top = stack.back();
-            if (!top.second) {
-                top.second = true;
-                i64 l = left(top.first);
-                if (l < size()) stack.emplace_back(l, false);
-            } else {
-                key[top.first] = data[vec_idx].first;
-                ident[top.first] = (u32)data[vec_idx].second.second;
-                for (int c = 0; c < NCH; ++c) {
-                    val[top.first][c] = data[vec_idx].second.first;
-                    sm[top.first][c] = (u32)top.first;
-                }
-                ++vec_idx;
-                i64 r = right(top.first);
-                stack.pop_back();
-                if (r < size()) stack.emplace_back(r, false);
-            }
-        }
-        for (i64 i = size() - 1; i > 0; --i) {
-            i64 par = parent(i);
-            for (int c = 0; c < NCH; ++c) {
-                if (gtr(c, sm[i][c], sm[par][c]))
-                    sm[par][c] = sm[i][c];
-            }
-        }
     }
 
     // build from data ALREADY sorted by key (ties in caller's stable
     // order): skips the sort, computes channel 0's submax spine once and
     // copies it — every channel starts from the identical (value, ident)
     // entries, so their built states are identical by construction.
-    void build_from_sorted(const std::vector<std::pair<K, CrossVal>>& data) {
+    template <typename KIn>
+    void build_from_sorted(const std::vector<std::pair<KIn, CrossVal>>& data,
+                           const std::array<f32, NCH>* outer_vals) {
+        ov = outer_vals;
         key.resize(data.size());
         ident.resize(data.size());
-        val.resize(data.size());
         sm.resize(data.size());
         if (data.empty()) return;
         i64 vec_idx = 0;
@@ -455,9 +419,8 @@ struct MultiMaxTreeP {
                 i64 l = left(top.first);
                 if (l < size()) stack.emplace_back(l, false);
             } else {
-                key[top.first] = data[vec_idx].first;
+                key[top.first] = (K)data[vec_idx].first;
                 ident[top.first] = (u32)data[vec_idx].second.second;
-                val[top.first][0] = data[vec_idx].second.first;
                 sm[top.first][0] = (u32)top.first;
                 ++vec_idx;
                 i64 r = right(top.first);
@@ -472,7 +435,6 @@ struct MultiMaxTreeP {
         }
         for (i64 i = 0; i < size(); ++i) {
             for (int c = 1; c < NCH; ++c) {
-                val[i][c] = val[i][0];
                 sm[i][c] = sm[i][0];
             }
         }
@@ -486,20 +448,25 @@ struct MultiMaxTreeP {
         sm[x][c] = (u32)nm;
     }
 
-    void update(int c, i64 i, const CrossVal& nv) {
-        f32 v = nv.first;
-        u32 id = (u32)nv.second;
-        if (gtr_vi(c, v, id, sm[i][c])) {
+    // The caller has ALREADY written v into ov[id][c]; old_self is the
+    // value it replaced. Comparisons against this same entry (the only one
+    // whose stored value changed) use old_self — reproducing exactly the
+    // value-carrying variant, which wrote its copy only after the compare.
+    void update(int c, i64 i, f32 v, u32 id, f32 old_self) {
+        auto beats = [&](i64 node_pos) {
+            if (ident[node_pos] == id)
+                return v > old_self;  // (v,id) vs (old_self,id)
+            return gtr_vi(c, v, id, node_pos);
+        };
+        if (beats(sm[i][c])) {
             sm[i][c] = (u32)i;
             i64 here = i;
             while (here != 0) {
                 here = parent(here);
-                if (gtr_vi(c, v, id, sm[here][c])) sm[here][c] = (u32)i;
+                if (beats(sm[here][c])) sm[here][c] = (u32)i;
                 else break;
             }
-            val[i][c] = v;
         } else {
-            val[i][c] = v;
             if (sm[i][c] == (u32)i) {
                 reidentify(c, i);
                 i64 here = i;
@@ -855,12 +822,14 @@ struct MultiOrthoTreeP {
     std::vector<K1> key1;
     std::vector<K2> key2;
     std::vector<std::array<f32, NCH>> value;  // per-node channel block
-    std::vector<MultiMaxTreeP<K2, NCH>> cross;
-    // per outer node, its (ancestor cross tree, position) memberships —
-    // built as nested vectors, flattened to CSR after build (the update
-    // walk is hot; the flat layout avoids a pointer chase per node)
-    std::vector<std::vector<std::pair<i64, i64>>> cross_pos;
-    std::vector<u32> cp_ptr, cp_anc, cp_pos;
+    std::vector<MultiMaxTreeP<u32, NCH>> cross;  // key2 offsets < 2^31
+    // per outer node, its positions in each cross-bearing ancestor's tree
+    // (CSR, bottom-up x -> root order). The ancestors themselves are NOT
+    // stored — they are the parent chain of x filtered by make_cross (mc),
+    // recovered arithmetically during updates.
+    std::vector<std::vector<i64>> cross_pos;
+    std::vector<u32> cp_ptr, cp_pos;
+    std::vector<uint8_t> mc;
 
     static inline i64 left(i64 x) { return 2 * x + 1; }
     static inline i64 right(i64 x) { return 2 * x + 2; }
@@ -900,9 +869,9 @@ struct MultiOrthoTreeP {
                 }
             }
         }
-        std::vector<bool> make_cross(n, true);
-        for (i64 c = 0; c < n; c = left(c)) make_cross[c] = false;
-        for (i64 c = right(0); c < n; c = right(c)) make_cross[c] = false;
+        mc.assign(n, 1);
+        for (i64 c = 0; c < n; c = left(c)) mc[c] = 0;
+        for (i64 c = right(0); c < n; c = right(c)) mc[c] = 0;
 
         // Each node's subtree is a CONTIGUOUS RANGE of the sorted data (the
         // in-order fill above guarantees it), so the reference's downward
@@ -915,17 +884,15 @@ struct MultiOrthoTreeP {
         // identical entry sequence.
         std::vector<i64> cnt(n, 1);
         for (i64 i = n - 1; i >= 1; --i) cnt[parent(i)] += cnt[i];
-        _divvy(0, 0, n, data, indexes, make_cross, cnt);
+        _divvy(0, 0, n, data, indexes, cnt);
         // flatten memberships to CSR and free the nested vectors
         cp_ptr.assign(n + 1, 0);
         for (i64 i = 0; i < n; ++i) cp_ptr[i + 1] = cp_ptr[i] + (u32)cross_pos[i].size();
-        cp_anc.resize(cp_ptr[n]);
         cp_pos.resize(cp_ptr[n]);
         for (i64 i = 0; i < n; ++i) {
             u32 base = cp_ptr[i];
             for (size_t t = 0; t < cross_pos[i].size(); ++t) {
-                cp_anc[base + t] = (u32)cross_pos[i][t].first;
-                cp_pos[base + t] = (u32)cross_pos[i][t].second;
+                cp_pos[base + t] = (u32)cross_pos[i][t];
             }
         }
         cross_pos.clear();
@@ -940,14 +907,13 @@ struct MultiOrthoTreeP {
             i64 x, i64 lo, i64 hi,
             const std::vector<std::tuple<K1, K2, f32>>& data,
             const std::vector<i64>& indexes,
-            const std::vector<bool>& make_cross,
             const std::vector<i64>& cnt) {
         i64 n = size();
         i64 l = left(x), r = right(x);
         i64 p = lo + (l < n ? cnt[l] : 0);
         std::vector<std::pair<K2, CrossVal>> lv, rv;
-        if (l < n) lv = _divvy(l, lo, p, data, indexes, make_cross, cnt);
-        if (r < n) rv = _divvy(r, p + 1, hi, data, indexes, make_cross, cnt);
+        if (l < n) lv = _divvy(l, lo, p, data, indexes, cnt);
+        if (r < n) rv = _divvy(r, p + 1, hi, data, indexes, cnt);
         std::pair<K2, CrossVal> piv(
             std::get<1>(data[p]),
             CrossVal(std::get<2>(data[p]), indexes[p]));
@@ -970,10 +936,10 @@ struct MultiOrthoTreeP {
                 out.push_back(rv[j++]);
             }
         }
-        if (make_cross[x]) {
-            cross[x].build_from_sorted(out);
+        if (mc[x]) {
+            cross[x].build_from_sorted(out, value.data());
             for (i64 pos = 0; pos < cross[x].size(); ++pos) {
-                cross_pos[cross[x].ident[pos]].emplace_back(x, pos);
+                cross_pos[cross[x].ident[pos]].push_back(pos);
             }
         }
         return out;
@@ -993,10 +959,9 @@ struct MultiOrthoTreeP {
     }
 
     void update(int c, i64 i, f32 nv) {
-        value[i][c] = nv;
-        for (u32 t = cp_ptr[i]; t < cp_ptr[i + 1]; ++t) {
-            cross[cp_anc[t]].update(c, cp_pos[t], CrossVal(nv, i));
-        }
+        int chans[1] = {c};
+        f32 nvs[1] = {nv};
+        update_multi(1, chans, i, nvs);
     }
 
     bool range_max(int ch, const K1& lo1, const K1& hi1, const K2& lo2,
@@ -1009,7 +974,7 @@ struct MultiOrthoTreeP {
         if (cursor >= size()) return false;
         bool max_at_idx = false, max_at_iter = false;
         i64 max_idx = -1;
-        const MultiMaxTreeP<K2, NCH>* max_tree = nullptr;
+        const MultiMaxTreeP<u32, NCH>* max_tree = nullptr;
         i64 max_iter = -1;
         if (key2[cursor] >= lo2 && key2[cursor] < hi2) {
             max_at_idx = true;
@@ -1033,7 +998,7 @@ struct MultiOrthoTreeP {
                 }
                 i64 r = right(lc);
                 if (r < size() && !cross[r].empty()) {
-                    i64 it = cross[r].range_max(ch, lo2, hi2);
+                    i64 it = cross[r].range_max(ch, (u32)lo2, (u32)hi2);
                     if (it != cross[r].size()) {
                         f32 v = cross[r].value_at(ch, it);
                         bool better = (!max_at_idx && !max_at_iter) ||
@@ -1064,7 +1029,7 @@ struct MultiOrthoTreeP {
                 }
                 i64 l = left(rc);
                 if (l < size() && !cross[l].empty()) {
-                    i64 it = cross[l].range_max(ch, lo2, hi2);
+                    i64 it = cross[l].range_max(ch, (u32)lo2, (u32)hi2);
                     if (it != cross[l].size()) {
                         f32 v = cross[l].value_at(ch, it);
                         bool better = (!max_at_idx && !max_at_iter) ||
@@ -1112,7 +1077,7 @@ struct MultiOrthoTreeP {
         }
         bool at_idx[8] = {false}, at_iter[8] = {false};
         i64 max_idx[8];
-        const MultiMaxTreeP<K2, NCH>* max_tree[8];
+        const MultiMaxTreeP<u32, NCH>* max_tree[8];
         i64 max_iter[8];
         i64 its[8];
         if (key2[cursor] >= lo2 && key2[cursor] < hi2) {
@@ -1140,7 +1105,7 @@ struct MultiOrthoTreeP {
         };
         auto consider_cross = [&](i64 sub) {
             if (sub < size() && !cross[sub].empty()) {
-                cross[sub].range_max_multi(m, chans, lo2, hi2, its);
+                cross[sub].range_max_multi(m, chans, (u32)lo2, (u32)hi2, its);
                 for (int k = 0; k < m; ++k) {
                     if (its[k] == cross[sub].size()) continue;
                     f32 v = cross[sub].value_at(chans[k], its[k]);
@@ -1195,11 +1160,22 @@ struct MultiOrthoTreeP {
     // per-channel results are unchanged; the ancestor chain is only walked
     // once instead of once per channel).
     void update_multi(int m, const int* chans, i64 i, const f32* nv) {
-        for (int k = 0; k < m; ++k) value[i][chans[k]] = nv[k];
-        for (u32 t = cp_ptr[i]; t < cp_ptr[i + 1]; ++t) {
-            auto& ct = cross[cp_anc[t]];
-            for (int k = 0; k < m; ++k)
-                ct.update(chans[k], cp_pos[t], CrossVal(nv[k], i));
+        f32 old[NCH];
+        for (int k = 0; k < m; ++k) {
+            old[k] = value[i][chans[k]];
+            value[i][chans[k]] = nv[k];
+        }
+        // memberships ride the parent chain bottom-up, filtered by mc —
+        // the same order _divvy recorded the positions in
+        u32 t = cp_ptr[i];
+        for (i64 a = i;; a = parent(a)) {
+            if (mc[a]) {
+                auto& ct = cross[a];
+                i64 pos = cp_pos[t++];
+                for (int k = 0; k < m; ++k)
+                    ct.update(chans[k], pos, nv[k], (u32)i, old[k]);
+            }
+            if (a == 0) break;
         }
     }
 };
@@ -2320,4 +2296,16 @@ void chain_merge_build(
     }
 }
 
+}  // extern "C"
+
+extern "C" {
+// release freed malloc arenas back to the OS between subproblems: the chain
+// DP's tree structures allocate many small blocks whose retention otherwise
+// stacks across the big late-tree joins (observed: +50 GB RSS carried into
+// the root join of a 50-sequence MSA)
+void native_malloc_trim() {
+#if defined(__GLIBC__)
+    malloc_trim(0);
+#endif
+}
 }  // extern "C"
