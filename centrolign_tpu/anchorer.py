@@ -815,11 +815,28 @@ class Anchorer:
             fvals[:, 0] = scores
             grows = np.zeros((len(rows), 2), dtype=_I64)
         else:
-            arows, fvals = chain_affine_parity(
-                graph1, graph2, matches, num_sets, weights, xmerge1, xmerge2,
-                self.gap_open, self.gap_extend, scale,
-                sources1, sources2, sinks1, sinks2,
-                num_anchors, max_match_size, local_masked)
+            import os
+            res = None
+            # Experimental opt-in (CENTROLIGN_TPU_CHAIN_CDQ=1): the offline
+            # CDQ value engine matches brute-force DP values on random
+            # anchor sets (tests/test_chain_native.py) but still diverges
+            # from the tree engine's traceback on real pipeline inputs and
+            # its Python-side marshalling is slower e2e — default OFF until
+            # both are fixed.
+            if (not local_masked
+                    and os.environ.get("CENTROLIGN_TPU_CHAIN_CDQ", "0") == "1"):
+                res = self._chain_affine_cdq(
+                    matches, graph1, graph2, xmerge1, xmerge2,
+                    sources1, sources2, sinks1, sinks2, scale,
+                    num_sets, num_anchors, max_match_size, weights)
+            if res is not None:
+                arows, fvals = res
+            else:
+                arows, fvals = chain_affine_parity(
+                    graph1, graph2, matches, num_sets, weights, xmerge1,
+                    xmerge2, self.gap_open, self.gap_extend, scale,
+                    sources1, sources2, sinks1, sinks2,
+                    num_anchors, max_match_size, local_masked)
             rows = arows[:, :3]
             grows = arows[:, 3:5]
 
@@ -847,6 +864,207 @@ class Anchorer:
                 a.gap_before = -a.gap_before
                 a.gap_after = -a.gap_after
         return chain
+
+    # ------------------------------------------------------------------
+    # SparseAffine chain x chain via offline CDQ (native/chain_affine_cdq.cpp)
+
+    def _chain_affine_cdq(self, matches, graph1, graph2, xmerge1, xmerge2,
+                          sources1, sources2, sinks1, sinks2, scale,
+                          num_sets, num_anchors, max_match_size, weights):
+        """Reference-exact SparseAffine chaining on chain x chain inputs
+        through the O(n log^2 n) CDQ value engine plus host-side traceback.
+        DP values are bit-identical to the tree sweep (same f32/f64 rounding
+        sequence, reference anchorer.hpp:2290-2420); backpointer ties (rare)
+        currently fall back to the tree engine. Returns (arows, fvals) in
+        chain_affine_parity's output format, or None when not applicable."""
+        import os
+
+        def is_chain(g):
+            return (g.node_size > 0 and bool((g.out_degrees() <= 1).all())
+                    and bool((g.in_degrees() <= 1).all())
+                    and int((g.in_degrees() == 0).sum()) == 1)
+
+        if xmerge1.num_chains > 2 or xmerge2.num_chains > 2:
+            return None
+        if not (is_chain(graph1) and is_chain(graph2)):
+            return None
+        idx1 = np.asarray(xmerge1.index_on[0], dtype=_I64)
+        idx2 = np.asarray(xmerge2.index_on[0], dtype=_I64)
+
+        # flatten anchors in MatchBank id order: (set, walk1, walk2)
+        parts = []
+        for s in range(num_sets):
+            m = matches[s]
+            a1 = np.asarray(m.walks1, dtype=_I64)
+            a2 = np.asarray(m.walks2, dtype=_I64)
+            n1, n2 = len(a1), len(a2)
+            if n1 == 0 or n2 == 0:
+                continue
+            parts.append((
+                np.full(n1 * n2, s, dtype=_I64),
+                np.repeat(np.arange(n1, dtype=_I64), n2),
+                np.tile(np.arange(n2, dtype=_I64), n1),
+                np.repeat(a1[:, 0], n2), np.repeat(a1[:, -1], n2),
+                np.tile(a2[:, 0], n1), np.tile(a2[:, -1], n1)))
+        if not parts:
+            return (np.empty((0, 5), dtype=_I64), np.empty((0, 3)))
+        sid, i1s, i2s, as1, ae1, as2, ae2 = (
+            np.concatenate([p[k] for p in parts]) for k in range(7))
+        n = len(sid)
+
+        ps1, pe1, ps2, pe2 = idx1[as1], idx1[ae1], idx2[as2], idx2[ae2]
+        if (ps1 < 0).any() or (pe1 < 0).any() or (ps2 < 0).any() \
+                or (pe2 < 0).any():
+            return None
+        for nodes, idx in ((sources1, idx1), (sources2, idx2),
+                           (sinks1, idx1), (sinks2, idx2)):
+            if nodes is not None and len(nodes) and \
+                    (idx[np.asarray(nodes, dtype=_I64)] < 0).any():
+                return None
+
+        # reference integer-width dispatch (anchorer.hpp:1271-1280) decides
+        # the unreachable-gap sentinel value
+        use_small = (num_sets < 2**32 - 1 and max_match_size < 2**16 - 1
+                     and graph1.node_size + graph2.node_size < 2**31 - 1
+                     and num_anchors < 2**32 - 1)
+        gapmax = np.int64(2**31 - 1) if use_small else np.int64(2**63 - 1)
+        go = np.asarray(self.gap_open, dtype=np.float64)
+        ge = np.asarray(self.gap_extend, dtype=np.float64)
+        mininf = np.float32(np.finfo(np.float32).min)
+
+        def score_gap(gap):
+            """reference AffineEngine::score_gap: f32 running max of
+            per-component f32(-scale*(go + ge*|gap|)); 0 at gap==0,
+            MININF at the unreachable sentinel."""
+            gap = np.atleast_1d(np.asarray(gap, dtype=_I64))
+            a = np.abs(gap).astype(np.float64)
+            sc = np.full(gap.shape, mininf, dtype=np.float32)
+            for k in range(len(go)):
+                cand = (-scale * (go[k] + ge[k] * a)).astype(np.float32)
+                sc = np.maximum(sc, cand)
+            sc = np.where(gap == 0, np.float32(0.0), sc)
+            return np.where(gap == gapmax, mininf, sc)
+
+        def gap_between(pn1, pn2, c1_nodes, c2_nodes):
+            """measure_gap for on-chain node pairs, vectorized over the
+            current side (scalar prev): source_shift(prev) -
+            query_shift(cur), gated by chain reachability."""
+            qp1, qp2 = idx1[c1_nodes], idx2[c2_nodes]
+            r = (((pn1 == c1_nodes) | (idx1[pn1] < qp1))
+                 & ((pn2 == c2_nodes) | (idx2[pn2] < qp2)))
+            g = (idx1[pn1] - idx2[pn2]) - (qp1 - qp2)
+            return np.where(r, g, gapmax)
+
+        def min_abs_gap(prev_pairs, c1_nodes, c2_nodes):
+            """reference measure_gap_sn/ns quirk: |gap| compared against
+            the SIGNED running value (anchorer.hpp:1946-1995)."""
+            rv = np.full(np.shape(c1_nodes), gapmax, dtype=_I64)
+            for pn1, pn2 in prev_pairs:
+                here = gap_between(pn1, pn2, c1_nodes, c2_nodes)
+                upd = np.abs(here) < rv
+                rv = np.where(upd, here, rv)
+            return rv
+
+        w32 = weights[:num_sets].astype(np.float32)
+        aw = w32[sid]
+        if sources1 is not None:
+            prev_pairs = [(int(a), int(b)) for a in sources1
+                          for b in sources2]
+            lead = score_gap(min_abs_gap(prev_pairs, as1, as2))
+            init = np.where(lead == mininf, mininf, aw + lead)
+        else:
+            init = aw.copy()
+
+        from .native import chain_affine_cdq
+        dp, bp, tie, _struct, _stored, _qs = chain_affine_cdq(
+            ps1, pe1, ps2, pe2, aw, init, go, ge, scale)
+
+        # final indel term + opt selection (affine_impl traceback prologue)
+        min_score = np.float32(0.0)
+        if sinks1 is not None:
+            fin = score_gap(min_abs_gap(
+                [(int(a), int(b)) for a in sinks1 for b in sinks2],
+                ae1, ae2))
+            if sources1 is not None:
+                # measure_gap_ss: curr (sinks) outer, prev (sources) inner
+                rv = np.int64(gapmax)
+                for c in sinks1:
+                    for d in sinks2:
+                        for a in sources1:
+                            for b in sources2:
+                                here = gap_between(
+                                    int(a), int(b),
+                                    np.asarray([c], dtype=_I64),
+                                    np.asarray([d], dtype=_I64))[0]
+                                if abs(int(here)) < rv:
+                                    rv = np.int64(here)
+                min_score = score_gap(rv)[0]
+            dpf = np.where(fin == mininf, mininf, dp + fin)
+        else:
+            dpf = dp
+
+        ok = dpf > min_score
+        if not ok.any():
+            return (np.empty((0, 5), dtype=_I64), np.empty((0, 3)))
+        best = dpf[ok].max()
+        opt = int(np.flatnonzero((dpf == best) & ok)[0])
+
+        rev = []
+        here = opt
+        while here != -1:
+            if tie[here]:
+                # a tied range-max on the traceback path: the exact winner
+                # depends on the tree visit order — resolve via the host
+                # replica of the OrthoTree/MaxTree walk
+                from .chain_ties import resolve_affine_tie
+                here2 = resolve_affine_tie(
+                    int(here), ps1, pe1, ps2, pe2, dp, init, go, ge, scale,
+                    _struct[here], _stored[here])
+                if here2 is None:
+                    if os.environ.get("CHAIN_PARITY_DEBUG"):
+                        import sys
+                        print("[cdq] unresolved tie -> tree engine fallback",
+                              file=sys.stderr)
+                    return None
+                rev.append(here)
+                here = int(here2)
+                continue
+            rev.append(here)
+            here = int(bp[here])
+        rev.reverse()
+
+        # gap annotations (affine_impl / anchorer.hpp:2423-2462)
+        m = len(rev)
+        arows = np.zeros((m, 5), dtype=_I64)
+        fvals = np.zeros((m, 3))
+        for t, a in enumerate(rev):
+            arows[t, 0] = sid[a]
+            arows[t, 1] = i1s[a]
+            arows[t, 2] = i2s[a]
+            fvals[t, 0] = weights[sid[a]]
+        for t, a in enumerate(rev):
+            if t == 0 and sources1 is not None:
+                g = min_abs_gap(
+                    [(int(x), int(y)) for x in sources1 for y in sources2],
+                    as1[a:a + 1], as2[a:a + 1])[0]
+                arows[t, 3] = g
+                fvals[t, 1] = score_gap(g)[0]
+            if t > 0:
+                p = rev[t - 1]
+                g = gap_between(int(ae1[p]), int(ae2[p]),
+                                as1[a:a + 1], as2[a:a + 1])[0]
+                gs = score_gap(g)[0]
+                arows[t - 1, 4] = g
+                fvals[t - 1, 2] = gs
+                arows[t, 3] = g
+                fvals[t, 1] = gs
+            if t == m - 1 and sinks1 is not None:
+                g = min_abs_gap(
+                    [(int(x), int(y)) for x in sinks1 for y in sinks2],
+                    ae1[a:a + 1], ae2[a:a + 1])[0]
+                arows[t, 4] = g
+                fvals[t, 2] = score_gap(g)[0]
+        return arows, fvals
 
     # ------------------------------------------------------------------
     # native chain-graph fast path

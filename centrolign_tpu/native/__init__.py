@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["chain.cpp", "chain_general.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp", "cactus_snarls.cpp", "fill_in.cpp"]
+_SOURCES = ["chain.cpp", "chain_general.cpp", "chain_affine_cdq.cpp", "esa.cpp", "popoa.cpp", "extract.cpp", "wfa.cpp", "chain_parity.cpp", "superbubbles.cpp", "three_ecc.cpp", "cactus_snarls.cpp", "fill_in.cpp"]
 
 # Sanitizer tier (the reference's -DDEV=ON builds everything with
 # ASan+UBSan, reference CMakeLists.txt:19-25): CENTROLIGN_TPU_NATIVE_SANITIZE=1
@@ -196,6 +196,15 @@ def get_lib() -> ctypes.CDLL:
         [ctypes.c_int64] + [I64P] * 4 +
         [ctypes.c_int64, I64P, I64P, ctypes.c_int64, ctypes.c_int64] +
         [I64P] * 3 + [ctypes.c_int])
+    lib.chain_affine_cdq.restype = ctypes.c_int64
+    lib.chain_affine_cdq.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.chain_affine_parity.restype = ctypes.c_int64
     lib.chain_affine_parity.argtypes = (
         [ctypes.c_int64] + [I64P] * 4 +
@@ -715,6 +724,43 @@ def chain_affine_parity(graph1, graph2, matches, num_sets, weights, xm1, xm2,
         1 if use_small else 0, width,
         cap, _ptr_i64(out_rows), _ptr_f64(out_f))
     return out_rows[:nout].copy(), out_f[:nout].copy()
+
+
+def chain_affine_cdq(s1, e1, s2, e2, w32, init32, gap_open, gap_extend,
+                     local_scale):
+    """SparseAffine chain-DP values on chain x chain inputs via the offline
+    CDQ engine (native/chain_affine_cdq.cpp). Inputs are per-anchor chain
+    indices (int64) and f32 weights / initial DP values. Returns per-anchor
+    (dp f32, bp int64, tie u8, struct u8, stored f32, qshift int64)."""
+    lib = get_lib()
+    n = len(s1)
+    s1 = np.ascontiguousarray(s1, dtype=np.int64)
+    e1 = np.ascontiguousarray(e1, dtype=np.int64)
+    s2 = np.ascontiguousarray(s2, dtype=np.int64)
+    e2 = np.ascontiguousarray(e2, dtype=np.int64)
+    w32 = np.ascontiguousarray(w32, dtype=np.float32)
+    init32 = np.ascontiguousarray(init32, dtype=np.float32)
+    go = np.ascontiguousarray(gap_open, dtype=np.float64)
+    ge = np.ascontiguousarray(gap_extend, dtype=np.float64)
+    out_dp = np.empty(n, dtype=np.float32)
+    out_bp = np.empty(n, dtype=np.int64)
+    out_tie = np.empty(n, dtype=np.uint8)
+    out_struct = np.empty(n, dtype=np.uint8)
+    out_stored = np.empty(n, dtype=np.float32)
+    out_qs = np.empty(n, dtype=np.int64)
+    rc = lib.chain_affine_cdq(
+        n, _ptr_i64(s1), _ptr_i64(e1), _ptr_i64(s2), _ptr_i64(e2),
+        w32.ctypes.data_as(ctypes.c_void_p),
+        init32.ctypes.data_as(ctypes.c_void_p),
+        _ptr_f64(go), _ptr_f64(ge), float(local_scale),
+        out_dp.ctypes.data_as(ctypes.c_void_p),
+        _ptr_i64(out_bp),
+        out_tie.ctypes.data_as(ctypes.c_void_p),
+        out_struct.ctypes.data_as(ctypes.c_void_p),
+        out_stored.ctypes.data_as(ctypes.c_void_p),
+        _ptr_i64(out_qs))
+    assert rc == 0
+    return out_dp, out_bp, out_tie, out_struct, out_stored, out_qs
 
 
 def _paths_args(graph):
