@@ -117,6 +117,8 @@ def main():
         "path": "device" if healthy else "native",
         "device": device_kind(),
         "dp_cells_per_sec": best_metrics.get("dp_cells_per_sec", 0),
+        "device_cells": best_metrics.get("device_cells", 0),
+        "device_contribution_s": best_metrics.get("device_contribution_s", 0),
         "aligners": {k: v for k, v in best_metrics.items()
                      if isinstance(v, dict)},
     }

@@ -55,4 +55,14 @@ def summary() -> dict:
     out["dp_seconds"] = round(total_sec, 4)
     out["dp_cells_per_sec"] = (
         round(total_cells / total_sec) if total_sec > 0 else 0)
+    # net device-blocked time and cells (every device-engine tag), so each
+    # bench round self-reports how much the chip actually contributed
+    dev_cells = 0
+    dev_sec = 0.0
+    for tag in ("pod", "podag", "posh"):
+        if tag in counters:
+            dev_cells += counters[tag][1]
+            dev_sec += counters[tag][2]
+    out["device_cells"] = dev_cells
+    out["device_contribution_s"] = round(dev_sec, 4)
     return out

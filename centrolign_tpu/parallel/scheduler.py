@@ -23,8 +23,10 @@ the calibrated parameters, so the distributed output is byte-identical to
 the serial run regardless of worker count or completion order.
 
 Coverage: the colinear pipeline (calibration + progressive MSA + all of
--s/-S/-A/CIGAR outputs). Cyclization (-c) and checkpoint restart keep the
-serial path (their per-leaf bonding rounds carry cross-round mask state).
+-s/-S/-A/CIGAR outputs), cyclization (-c, bonding rounds dispatched per
+layer with cross-round mask state carried in the main process), and
+checkpoint restart (-R resumes into the layered schedule); see run() below
+and tests/test_scheduler.py.
 """
 
 from __future__ import annotations
