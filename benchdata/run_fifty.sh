@@ -9,7 +9,7 @@
 # any earlier partial run, so a wall-clock-limited session can finish the
 # measurement in pieces; per-attempt records append to /tmp/fifty_run/<tag>.attempts.jsonl
 # and `compare` aggregates both legs + a GFA parity verdict into
-# benchdata/results_r04.json.
+# benchdata/results_r05.json.
 #
 # The reference binary defaults to /tmp/refbuild/centrolign; tests/conftest.py
 # builds it automatically from /root/reference (cmake -B /tmp/refbuild), or set
@@ -109,10 +109,10 @@ if both:
     out["gfa_byte_identical"] = ours == ref
     out["speedup_wall"] = round(out["ref"]["wall_s"] / out["ours"]["wall_s"], 3)
     out["speedup_user"] = round(out["ref"]["user_s"] / out["ours"]["user_s"], 3)
-with open("benchdata/results_r04.json", "w") as f:
+with open("benchdata/results_r05.json", "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out, indent=1))
-print("wrote benchdata/results_r04.json")
+print("wrote benchdata/results_r05.json")
 PYEOF
 }
 

@@ -887,7 +887,14 @@ class Anchorer:
         import tempfile
         from .native import chain_affine_parity
 
-        dump = tempfile.mktemp(suffix=".dpdump")
+        if getattr(self, "_cdq_debug", None) is None:
+            # the CDQ engine early-returned (empty/inapplicable input)
+            # before recording a debug payload; nothing to validate
+            return res
+
+        fd, dump = tempfile.mkstemp(suffix=".dpdump")
+        os.close(fd)
+        prev_dump = os.environ.get("CHAIN_DP_DUMP")
         os.environ["CHAIN_DP_DUMP"] = dump
         try:
             arows_t, fvals_t = chain_affine_parity(
@@ -896,9 +903,13 @@ class Anchorer:
                 sources1, sources2, sinks1, sinks2,
                 num_anchors, max_match_size, local_masked)
         finally:
-            del os.environ["CHAIN_DP_DUMP"]
+            if prev_dump is None:
+                del os.environ["CHAIN_DP_DUMP"]
+            else:
+                os.environ["CHAIN_DP_DUMP"] = prev_dump
         (sid, i1s, i2s, ps1, pe1, ps2, pe2, dp, bp, tie, init) = \
             self._cdq_debug
+        self._cdq_debug = None  # consume: never validate a stale payload
         with open(dump, "rb") as f:
             n = int(np.fromfile(f, dtype=np.int64, count=1)[0])
             dp_t = np.fromfile(f, dtype=np.float32, count=n)
@@ -968,10 +979,17 @@ class Anchorer:
         """Reference-exact SparseAffine chaining on chain x chain inputs
         through the O(n log^2 n) CDQ value engine plus host-side traceback.
         DP values are bit-identical to the tree sweep (same f32/f64 rounding
-        sequence, reference anchorer.hpp:2290-2420); backpointer ties (rare)
-        currently fall back to the tree engine. Returns (arows, fvals) in
-        chain_affine_parity's output format, or None when not applicable."""
+        sequence, reference anchorer.hpp:2290-2420); backpointer ties on the
+        traceback path are resolved in-process by chain_ties.AffineTieResolver
+        (a rank-arithmetic replica of the tree visit order), and only an
+        unresolved walk (resolve() -> None) falls back to the tree engine.
+        Returns (arows, fvals) in chain_affine_parity's output format, or
+        None when not applicable."""
         import os
+
+        # any _cdq_debug left over from a prior call (e.g. one that fell
+        # back to the tree engine after the native sweep) is stale now
+        self._cdq_debug = None
 
         def is_chain(g):
             return (g.node_size > 0 and bool((g.out_degrees() <= 1).all())
@@ -1085,8 +1103,7 @@ class Anchorer:
         else:
             init = aw.copy()
 
-        from .native import chain_affine_cdq
-        dp, bp, tie, _struct, _stored, _qs = chain_affine_cdq(
+        dp, bp, tie, _struct, _stored, _qs = self._cdq_values(
             ps1, pe1, ps2, pe2, aw, init, go, ge, scale)
         if os.environ.get("CENTROLIGN_TPU_CHAIN_CDQ_VALIDATE"):
             self._cdq_debug = (sid, i1s, i2s, ps1, pe1, ps2, pe2,
@@ -1182,6 +1199,33 @@ class Anchorer:
                 arows[t, 4] = g
                 fvals[t, 2] = score_gap(g)[0]
         return arows, fvals
+
+    def _cdq_values(self, ps1, pe1, ps2, pe2, aw, init, go, ge, scale):
+        """CDQ value pass: dp/bp/tie/struct/stored/qshift per anchor.
+
+        Routes to the device realization (ops/chain_cdq.py, a lax.scan
+        over the same event timeline with dense masked channel maxima)
+        when CENTROLIGN_TPU_DEVICE_CDQ=1 and the chip link has already
+        resolved healthy (non-blocking gate); any device-side failure —
+        e.g. a backend without f64 support — falls back to the native
+        engine (native/chain_affine_cdq.cpp). Outputs are bit-identical
+        between the two engines (tests/test_chain_cdq.py)."""
+        import os
+        if os.environ.get("CENTROLIGN_TPU_DEVICE_CDQ") == "1":
+            from .device import device_ready
+            import jax
+            if device_ready() or jax.default_backend() == "cpu":
+                try:
+                    from .ops.chain_cdq import chain_cdq_device
+                    return chain_cdq_device(ps1, pe1, ps2, pe2, aw, init,
+                                            go, ge, scale)
+                except Exception:
+                    from . import logging as logmod
+                    logmod.log(logmod.Debug,
+                               "Device CDQ unavailable; using native.")
+        from .native import chain_affine_cdq
+        return chain_affine_cdq(ps1, pe1, ps2, pe2, aw, init, go, ge,
+                                scale)
 
     # ------------------------------------------------------------------
     # native chain-graph fast path

@@ -105,6 +105,13 @@ def main(argv=None) -> int:
 
     logmod.level = params.get("logging_level")
 
+    # start the chip-link probe now so its ~1 min of link/runtime init (on a
+    # cold shared tunnel) overlaps FASTA parsing, calibration, and the first
+    # host-side alignments; dispatch sites consult the non-blocking
+    # device_ready() and never wait on this
+    from .device import start_probe_async
+    start_probe_async()
+
     try:
         with open(params.get("fasta_name")) as f:
             parsed = parse_fasta(f)

@@ -29,8 +29,10 @@
 // a globally (shift, offset, kind)-sorted index (no per-cross sorting);
 // each cross does two pointer+Fenwick sweeps (ascending for the "d1 < d2"
 // channels, descending for "d1 > d2") and an equal-shift run pass for the
-// gap-free channel. This sort/scan shape is shared with the device
-// (jnp) realization in ops/chain_cdq.py.
+// gap-free channel. The device (jnp) realization in ops/chain_cdq.py
+// consumes the same offline timeline (start-sorted lax.scan with dense
+// masked channel maxima in place of the Fenwick sweeps) and is
+// bit-identical on f64-capable backends (tests/test_chain_cdq.py).
 
 #include <cstdint>
 #include <cstring>

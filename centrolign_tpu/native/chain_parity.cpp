@@ -1912,12 +1912,18 @@ static i64 affine_impl(
     // CDQ engine's validation mode, anchorer.py::_chain_affine_cdq)
     if (const char* dumpp = getenv("CHAIN_DP_DUMP")) {
         FILE* df = fopen(dumpp, "wb");
-        if (df) {
+        if (!df) {
+            fprintf(stderr, "[affine] CHAIN_DP_DUMP: cannot open %s for "
+                    "writing; dump skipped\n", dumpp);
+        } else {
             i64 N = (i64)bank.total_pairs;
-            fwrite(&N, sizeof(i64), 1, df);
-            fwrite(bank.dp.data(), sizeof(f32), (size_t)N, df);
-            fwrite(bank.bp.data(), sizeof(u64), (size_t)N, df);
-            fclose(df);
+            size_t wrote = fwrite(&N, sizeof(i64), 1, df);
+            wrote += fwrite(bank.dp.data(), sizeof(f32), (size_t)N, df);
+            wrote += fwrite(bank.bp.data(), sizeof(u64), (size_t)N, df);
+            if (fclose(df) != 0 || wrote != (size_t)(1 + 2 * N))
+                fprintf(stderr, "[affine] CHAIN_DP_DUMP: short write to %s "
+                        "(%zu of %lld records); dump is truncated\n",
+                        dumpp, wrote, (long long)(1 + 2 * N));
         }
     }
     // ------------- traceback

@@ -144,14 +144,19 @@ class Stitcher:
         self._begin_dispatch()
 
     def _device_ok(self) -> bool:
-        """Probe the chip link once per process; a dead tunnel degrades to
-        the native path instead of hanging the pipeline."""
+        """Non-blocking chip gate: gaps evaluated while the async link probe
+        is still pending run natively (no wall-clock spent waiting); once the
+        probe resolves healthy, later eligible gaps route to the chip. A
+        dead tunnel degrades to the native path without ever blocking."""
         if not self.use_device:
             return False
-        from .device import device_healthy
-        if not device_healthy():
+        from .device import device_ready, probe_resolved
+        if device_ready():
+            return True
+        if probe_resolved():
+            # verdict is in and it is unhealthy: stop re-checking
             self.use_device = False
-        return self.use_device
+        return False
 
     # Dispatch policy for overlapped device batches: a bucket's accumulated
     # jobs launch as soon as it holds this many (or one job this large in
