@@ -145,6 +145,20 @@ def main(argv=None) -> int:
     import os
     n_hosts = args.hosts if args.hosts is not None else int(
         os.environ.get("CENTROLIGN_TPU_HOSTS", "1"))
+    if n_hosts > 1 and len(seq_names) > 2 and os.environ.get(
+            "CENTROLIGN_TPU_EXECUTOR", "pool") == "jaxdist":
+        # one jax process per host under jax.distributed, subproblem GFAs
+        # exchanged through collectives (parallel/multiprocess.py); the
+        # ranks re-derive everything from the input files + Parameters,
+        # then rank 0's output is printed here
+        import tempfile
+        from .parallel.multiprocess import run_multiprocess_msa
+        with tempfile.NamedTemporaryFile(suffix=".gfa") as tmp:
+            run_multiprocess_msa(n_hosts, params.get("fasta_name"),
+                                 params.get("tree_name") or None,
+                                 tmp.name, params=params)
+            sys.stdout.write(open(tmp.name).read())
+        return 0
     if n_hosts > 1:
         from .parallel.scheduler import distributed_execute
         distributed_execute(core, n_hosts)

@@ -42,10 +42,11 @@ _I64 = np.int64
 
 @dataclass
 class _Pending:
-    """Placeholder for a device-batched gap alignment: `kind` selects the
-    kernel ("chain" -> batched Pallas Gotoh, "dag" -> topological-wavefront
-    kernel), `job` feeds it, `finish` maps its raw lane-space alignment back
-    into parent-graph coordinates."""
+    """Placeholder for a deferred gap alignment: `kind` selects the engine
+    ("chain" -> batched Pallas Gotoh, "dag" -> topological-wavefront
+    kernel, "host" -> a native-aligner thunk deferred so ALL device-eligible
+    gaps dispatch before any heavy host DP runs), `job` feeds it, `finish`
+    maps its raw lane-space alignment back into parent-graph coordinates."""
     kind: str
     job: tuple
     finish: object
@@ -185,6 +186,8 @@ class Stitcher:
                     stitched.append(np.stack([a.walk1, a.walk2], axis=1))
             pair = between[i]
             self._subalign(pair[0], pair[1], stitched, True)
+        self._launch_remaining()
+        self._run_host_pending(stitched)
         self._flush_pending(stitched)
         if stitched:
             return np.concatenate(stitched, axis=0)
@@ -224,6 +227,23 @@ class Stitcher:
         handle = gotoh_dispatch(bucket, [p.job for p in lst])
         self._dispatch_t += metrics.timer() - t0
         self._handles.append((lst, handle))
+
+    def _launch_remaining(self) -> None:
+        """Dispatch every still-accumulated device bucket NOW — called after
+        the classification pass so the chip works on all eligible gaps while
+        the host pass (below) aligns the native gaps."""
+        import jax
+        if jax.default_backend() not in ("tpu", "axon"):
+            return
+        for bucket in list(self._accum):
+            self._dispatch_bucket(bucket)
+
+    def _run_host_pending(self, stitched: list) -> None:
+        """Execute the deferred host-native gap alignments (kind="host"),
+        in output order, overlapping the in-flight device batches."""
+        for k, x in enumerate(stitched):
+            if isinstance(x, _Pending) and x.kind == "host":
+                stitched[k] = x.finish(x.job())
 
     def _flush_pending(self, stitched: list) -> None:
         """Complete all queued device gap alignments: launch the leftover
@@ -298,6 +318,8 @@ class Stitcher:
             if i != 0:
                 pair = stitch_graphs[i - 1]
                 self._subalign(pair[0], pair[1], stitched, False)
+        self._launch_remaining()
+        self._run_host_pending(stitched)
         self._flush_pending(stitched)
         return np.concatenate(stitched, axis=0) if stitched else np.empty((0, 2), dtype=_I64)
 
@@ -333,8 +355,22 @@ class Stitcher:
             aln = translate_alignment(aln, back1, back2)
         stitched.append(aln)
 
-    def _do_alignment(self, ex1, ex2, only_deletion_alns, params) -> np.ndarray:
-        """(reference stitcher.hpp:237-370)"""
+    @staticmethod
+    def _host_pending(tag, cells, detail, fn):
+        """Defer a host-native aligner call: the decision is made NOW (pass
+        1), the DP runs in the host pass (pass 2) while device batches are
+        in flight. Timing is recorded at execution, same tags as before."""
+        def thunk():
+            from . import metrics
+            t0 = metrics.timer()
+            aln = fn()
+            metrics.record(tag, cells, metrics.timer() - t0, detail)
+            return aln
+        return _Pending(kind="host", job=thunk, finish=lambda a: a)
+
+    def _do_alignment(self, ex1, ex2, only_deletion_alns, params):
+        """(reference stitcher.hpp:237-370). Returns an alignment array or
+        a _Pending (device job or deferred host thunk)."""
         from . import metrics
         V1, V2 = ex1.subgraph.node_size, ex2.subgraph.node_size
         mat_size = (V1 + 1) * (V2 + 1)
@@ -357,22 +393,20 @@ class Stitcher:
                 and max1 <= self.deletion_alignment_short_max_size
                 and min2 >= self.deletion_alignment_long_min_size):
             from .native import deletion_wfa_po_poa
-            aln, _ = deletion_wfa_po_poa(
-                ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
-                ex1.sinks, ex2.sinks, params)
-            metrics.record("ad1", mat_size, metrics.timer() - t0,
-                           f"{V1}x{V2}")
-            return aln
+            return self._host_pending(
+                "ad1", mat_size, f"{V1}x{V2}",
+                lambda: deletion_wfa_po_poa(
+                    ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
+                    ex1.sinks, ex2.sinks, params)[0])
         if (max2 * self.deletion_alignment_ratio <= min1
                 and max2 <= self.deletion_alignment_short_max_size
                 and min1 >= self.deletion_alignment_long_min_size):
             from .native import deletion_wfa_po_poa
-            aln, _ = deletion_wfa_po_poa(
-                ex2.subgraph, ex1.subgraph, ex2.sources, ex1.sources,
-                ex2.sinks, ex1.sinks, params)
-            metrics.record("ad2", mat_size, metrics.timer() - t0,
-                           f"{V1}x{V2}")
-            return swap_sides(aln)
+            return self._host_pending(
+                "ad2", mat_size, f"{V1}x{V2}",
+                lambda: swap_sides(deletion_wfa_po_poa(
+                    ex2.subgraph, ex1.subgraph, ex2.sources, ex1.sources,
+                    ex2.sinks, ex1.sinks, params)[0]))
         if (mat_size < self.max_wfa_size
                 and ((min2 * r >= min1 and min2 <= max1 * r)
                      or (max2 * r >= min1 and max2 <= max1 * r)
@@ -380,17 +414,17 @@ class Stitcher:
                      or (max1 * r >= min2 and max1 <= max2 * r))
                 and not only_deletion_alns):
             from .native import wfa_po_poa
-            aln, _ = wfa_po_poa(
+            return self._host_pending(
+                "w", mat_size, f"{V1}x{V2}",
+                lambda: wfa_po_poa(
+                    ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
+                    ex1.sinks, ex2.sinks, params,
+                    prune_limit=2 * self.wfa_pruning_dist)[0])
+        return self._host_pending(
+            "u", mat_size, f"{V1}x{V2}",
+            lambda: greedy_partial_alignment(
                 ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
-                ex1.sinks, ex2.sinks, params,
-                prune_limit=2 * self.wfa_pruning_dist)
-            metrics.record("w", mat_size, metrics.timer() - t0, f"{V1}x{V2}")
-            return aln
-        aln = greedy_partial_alignment(
-            ex1.subgraph, ex2.subgraph, ex1.sources, ex2.sources,
-            ex1.sinks, ex2.sinks, params)
-        metrics.record("u", mat_size, metrics.timer() - t0, f"{V1}x{V2}")
-        return aln
+                ex1.sinks, ex2.sinks, params))
 
     def _po_poa(self, ex1, ex2, params, swapped: bool = False):
         from . import metrics
@@ -471,12 +505,11 @@ class Stitcher:
             metrics.record(
                 "po_dagfb", (V1 + 1) * (V2 + 1), 0.0,
                 f"K={max(job.t1.K, job.t2.K)} S={max(job.t1.S, job.t2.S)}")
-        t0 = metrics.timer()
-        aln, _ = popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
-                              ex2.sources, ex1.sinks, ex2.sinks, params)
-        metrics.record("po", (V1 + 1) * (V2 + 1), metrics.timer() - t0,
-                       f"{V1}x{V2}")
-        return aln
+        return self._host_pending(
+            "po", (V1 + 1) * (V2 + 1), f"{V1}x{V2}",
+            lambda: popoa_native(ex1.subgraph, ex2.subgraph, ex1.sources,
+                                 ex2.sources, ex1.sinks, ex2.sinks,
+                                 params)[0])
 
     # ------------------------------------------------------------------
 
