@@ -432,14 +432,17 @@ def _pack_chunk(W: int) -> int:
 
 
 def _make_pack8_kernel(npw: int, lane_is_i: bool, swap_pref: bool,
-                       chunk: int, D: int):
+                       chunk: int, D: int, pid_axis: int = 0):
     def kernel(par_ref,            # VMEM (8, 16) int32 per-row params
                a_ref,              # VMEM (8, W) int32 lane-side labels
                b_ref,              # VMEM (8, LB) int32 right-aligned rev.
                bp_ref,             # out VMEM (chunk, 8, W) int32
                sc_ref,             # out VMEM (8, W) int32 (row-max = score)
                M1, M2, II, DD):    # scratch (8,W),(8,W),(npw,8,W),(npw,8,W)
-        c = pl.program_id(0)
+        # pid_axis 0: grid=(n_chunks,). pid_axis 1: grid=(ngroups,
+        # n_chunks) — the chunk axis iterates fastest, so the c==0 init
+        # below re-arms the scratch state at every new group
+        c = pl.program_id(pid_axis)
         W = a_ref.shape[-1]
         a_vec = a_ref[:, :]
         V1v = par_ref[:, 0:1]
@@ -590,6 +593,57 @@ def gotoh_fill_pallas_pack8(params, a, b, num_diags: int, W: int,
     return bp, jnp.max(sc, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "num_diags", "W", "lane_is_i", "npw", "swap_pref", "ngroups"))
+def gotoh_fill_pallas_packmulti(params, a, b, num_diags: int, W: int,
+                                lane_is_i: bool, npw: int, swap_pref: bool,
+                                ngroups: int):
+    """Multi-group packed fill: `ngroups` independent 8-problem groups ride
+    ONE pallas_call (grid = groups x diagonal-chunks), so a bucket with
+    dozens of small gaps pays one dispatch instead of one per 8 jobs —
+    the launch-latency amortization lever for the small-gap regime
+    (docs/kernel-roofline.md). params (ngroups*8, 16); a (ngroups*8, W);
+    b (ngroups*8, LB). Returns (bp (ngroups, num_diags, 8, W) int32,
+    score (ngroups, 8) int32)."""
+    chunk = _pack_chunk(W)
+    kernel = _make_pack8_kernel(npw, lane_is_i, swap_pref, chunk,
+                                num_diags, pid_axis=1)
+    n_chunks = num_diags // chunk
+    bp, sc = pl.pallas_call(
+        kernel,
+        grid=(ngroups, n_chunks),
+        in_specs=[
+            pl.BlockSpec((GROUP, 16), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, a.shape[1]), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, b.shape[1]), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, GROUP, W),
+                         lambda g, c, n=n_chunks: (g * n + c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, W), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ngroups * num_diags, GROUP, W),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((ngroups * GROUP, W), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, W), jnp.int32),
+            pltpu.VMEM((GROUP, W), jnp.int32),
+            pltpu.VMEM((npw, GROUP, W), jnp.int32),
+            pltpu.VMEM((npw, GROUP, W), jnp.int32),
+        ],
+    )(params, a, b)
+    bp = bp.reshape(ngroups, num_diags, GROUP, W)
+    sc = jnp.max(sc.reshape(ngroups, GROUP, W), axis=2)
+    return bp, sc
+
+
 @functools.partial(jax.jit, static_argnames=("lane_is_i", "npw", "cap"))
 def _traceback_pack8_on_device(bp, scores, V1, V2, lane_is_i: bool,
                                npw: int, cap: int):
@@ -704,11 +758,50 @@ def gotoh_dispatch_pack8(bucket, jobs):
     return packed, len(jobs)
 
 
+def gotoh_dispatch_packmulti(bucket, jobs):
+    """Asynchronous launch of MANY jobs of one bucket through the
+    multi-group packed fill (one pallas_call for ceil(n/8) groups) +
+    vmapped traceback. Returns the same (packed, n) handle contract as
+    gotoh_dispatch_pack8 (rows in job order)."""
+    (W, num_diags, lane_is_i, swp, npw) = bucket
+    n = len(jobs)
+    ngroups = _pow2_bucket(-(-n // GROUP), 1)
+    a_all = np.full((ngroups * GROUP, W), -1, np.int32)
+    b_all = np.full((ngroups * GROUP, 2 * W + num_diags + 128), -2,
+                    np.int32)
+    par = np.zeros((ngroups * GROUP, 16), np.int32)
+    V1s = np.zeros(ngroups * GROUP, np.int32)
+    V2s = np.zeros(ngroups * GROUP, np.int32)
+    for k, (s1, s2, _swp, p) in enumerate(jobs):
+        s1 = np.asarray(s1, dtype=np.int32)
+        s2 = np.asarray(s2, dtype=np.int32)
+        _build_skew_inputs_packed(s1, s2, lane_is_i, W, num_diags,
+                                  a_all[k], b_all[k])
+        par[k, :4 + 2 * npw] = [len(s1), len(s2), p.match, p.mismatch,
+                                *p.gap_open, *p.gap_extend]
+        V1s[k], V2s[k] = len(s1), len(s2)
+    bp, scores = gotoh_fill_pallas_packmulti(
+        jnp.asarray(par), jnp.asarray(a_all), jnp.asarray(b_all),
+        num_diags, W, lane_is_i, npw, swp, ngroups)
+    tb = functools.partial(_traceback_pack8_on_device,
+                           lane_is_i=lane_is_i, npw=npw, cap=num_diags)
+    packed = jax.vmap(tb)(bp, scores,
+                          jnp.asarray(V1s.reshape(ngroups, GROUP)),
+                          jnp.asarray(V2s.reshape(ngroups, GROUP)))
+    packed = packed.reshape(ngroups * GROUP, *packed.shape[2:])
+    return packed, n
+
+
 # The row-per-problem kernel wastes 7 of every 8 sublanes but pays for a
 # problem's exact row count; the sublane-packed kernel fills all 8 sublanes
 # but always computes 8 rows. Packing wins whenever the group has >1 job or
 # the fill is small; huge singleton fills keep the row-per-problem path.
 PACK8_MAX_W = 4096
+
+# one multi-group launch's backpointer stream is capped at ~2 GB of HBM;
+# within that, up to 64 groups (512 jobs) amortize a single dispatch
+PACKMULTI_MAX_BP_BYTES = 2 << 30
+PACKMULTI_MAX_GROUPS = 64
 
 
 def _job_bucket(job):
@@ -735,12 +828,24 @@ def gotoh_dispatch(bucket, jobs):
     # streamed-scan traceback is ~4x faster than the row-kernel's
     # pointer-chase walk
     if W <= PACK8_MAX_W:
+        import os
         from .. import metrics
+        per_group_bp = num_diags * GROUP * W * 4
+        launch_groups = max(1, min(PACKMULTI_MAX_GROUPS,
+                                   PACKMULTI_MAX_BP_BYTES // per_group_bp))
+        # multi-group launches default ON once validated on-chip; "0"
+        # forces the one-group-per-launch round-3 behavior
+        if os.environ.get("CENTROLIGN_TPU_PACKMULTI", "0") == "0":
+            launch_groups = 1
+        per_launch = launch_groups * GROUP
         handles = []
-        for g in range(0, len(jobs), GROUP):
-            group = jobs[g:g + GROUP]
+        for g in range(0, len(jobs), per_launch):
+            group = jobs[g:g + per_launch]
             t0 = metrics.timer() if metrics._INSTRUMENT else 0.0
-            h = gotoh_dispatch_pack8(bucket, group)
+            if len(group) <= GROUP:
+                h = gotoh_dispatch_pack8(bucket, group)
+            else:
+                h = gotoh_dispatch_packmulti(bucket, group)
             if metrics._INSTRUMENT:
                 # per-launch device rate (VERDICT r2 #3): synchronous
                 # timing, so instrument mode trades away launch overlap
