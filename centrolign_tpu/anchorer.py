@@ -1213,8 +1213,23 @@ class Anchorer:
         import os
         if os.environ.get("CENTROLIGN_TPU_DEVICE_CDQ") == "1":
             from .device import device_ready
-            import jax
-            if device_ready() or jax.default_backend() == "cpu":
+
+            def cpu_backend():
+                # never INITIALIZE a backend here: on a dead accelerator
+                # tunnel that blocks forever (device.py:36-47). Ask jax
+                # only if a backend already exists; otherwise consult the
+                # platform pin without side effects.
+                try:
+                    from jax._src import xla_bridge as xb
+                    if not xb._backends:
+                        return os.environ.get(
+                            "JAX_PLATFORMS", "").startswith("cpu")
+                except Exception:
+                    pass
+                import jax
+                return jax.default_backend() == "cpu"
+
+            if device_ready() or cpu_backend():
                 try:
                     from .ops.chain_cdq import chain_cdq_device
                     return chain_cdq_device(ps1, pe1, ps2, pe2, aw, init,

@@ -135,22 +135,17 @@ def main(argv=None) -> int:
         newick = in_order_newick_string(seq_names)
     tree = Tree(newick)
 
-    core = Core(parsed, tree)
-    if len(seq_names) == 2:
-        params.set("preserve_subproblems", True)
-    params.apply(core)
-    if params.get("restart"):
-        core.restart()
-
     import os
     n_hosts = args.hosts if args.hosts is not None else int(
         os.environ.get("CENTROLIGN_TPU_HOSTS", "1"))
     if n_hosts > 1 and len(seq_names) > 2 and os.environ.get(
             "CENTROLIGN_TPU_EXECUTOR", "pool") == "jaxdist":
         # one jax process per host under jax.distributed, subproblem GFAs
-        # exchanged through collectives (parallel/multiprocess.py); the
-        # ranks re-derive everything from the input files + Parameters,
-        # then rank 0's output is printed here
+        # exchanged through collectives (parallel/multiprocess.py). The
+        # ranks re-derive everything — Core construction and any -R
+        # checkpoint replay happen per rank, so the parent does neither
+        # (replaying a large checkpoint directory twice is pure waste);
+        # rank 0's output is printed here.
         import tempfile
         from .parallel.multiprocess import run_multiprocess_msa
         with tempfile.NamedTemporaryFile(suffix=".gfa") as tmp:
@@ -159,6 +154,14 @@ def main(argv=None) -> int:
                                  tmp.name, params=params)
             sys.stdout.write(open(tmp.name).read())
         return 0
+
+    core = Core(parsed, tree)
+    if len(seq_names) == 2:
+        params.set("preserve_subproblems", True)
+    params.apply(core)
+    if params.get("restart"):
+        core.restart()
+
     if n_hosts > 1:
         from .parallel.scheduler import distributed_execute
         distributed_execute(core, n_hosts)

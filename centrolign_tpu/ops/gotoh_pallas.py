@@ -833,8 +833,9 @@ def gotoh_dispatch(bucket, jobs):
         per_group_bp = num_diags * GROUP * W * 4
         launch_groups = max(1, min(PACKMULTI_MAX_GROUPS,
                                    PACKMULTI_MAX_BP_BYTES // per_group_bp))
-        # multi-group launches default ON once validated on-chip; "0"
-        # forces the one-group-per-launch round-3 behavior
+        # multi-group launches are OFF by default until the on-chip
+        # validation (/tmp-scripted, see STATUS.md round-5 item 6)
+        # completes; CENTROLIGN_TPU_PACKMULTI=1 opts in
         if os.environ.get("CENTROLIGN_TPU_PACKMULTI", "0") == "0":
             launch_groups = 1
         per_launch = launch_groups * GROUP

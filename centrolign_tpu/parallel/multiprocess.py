@@ -134,6 +134,13 @@ def _rank_main(rank: int, n_procs: int, port: int, fasta: str,
     bond_alignments = core._restarted_bond_alignments if restarted else []
     want_alignments = bool(core.subalignments_filepath
                            or core.preserve_subproblems)
+    # -S/-s need child graphs alive for rank 0's deferred emit loop;
+    # cyclization needs the root graph for apply_bonds; otherwise drop
+    # each layer's consumed children (mirrors the pool scheduler)
+    keep_graphs = bool(core.preserve_subproblems
+                       or core.subalignments_filepath
+                       or core.subproblems_prefix
+                       or cyclic)
 
     def exchange_bytes(local: bytes) -> list[bytes]:
         """Allgather one byte payload per rank (padded to the global max
@@ -159,10 +166,16 @@ def _rank_main(rank: int, n_procs: int, port: int, fasta: str,
         return out
 
     # ---- calibration: leaves size-balanced across hosts, scales (and,
-    # under -c, each leaf's bonding-round alignments) allgathered
+    # under -c, each leaf's bonding-round alignments) allgathered.
+    # Restart semantics mirror the serial path (core.execute,
+    # core.py:230-241): a restarted run RE-runs the scale calibration
+    # (bonds come from the restored checkpoint) unless -skip-calibration.
     leaves = list(ex.leaf_subproblems())
     scales = {}
-    if (not core.skip_calibration or cyclic) and not restarted:
+    run_calibration = ((restarted and not core.skip_calibration)
+                       or (not restarted
+                           and (not core.skip_calibration or cyclic)))
+    if run_calibration:
         from .. import logging as logmod
         logmod.log(logmod.Basic,
                    "Calibrating scale of anchoring parameters."
@@ -187,7 +200,7 @@ def _rank_main(rank: int, n_procs: int, port: int, fasta: str,
             core.score_function.score_scale = float(
                 np.mean([scales[i] for i in range(len(leaves))]))
 
-        if cyclic:
+        if cyclic and not restarted:
             mine = []
             for i, (matches, chain) in sorted(leaf_state.items()):
                 alns, raw = leaf_bond_alignments(
@@ -235,7 +248,8 @@ def _rank_main(rank: int, n_procs: int, port: int, fasta: str,
                 s1, s2, core.max_count, core.score_function,
                 core.anchorer, core.partitioner, core.stitcher,
                 memory_restraint_size=core.memory_restraint_size)
-            graph, tableau = fuse_step(s1, s2, alignment, preserve=True)
+            graph, tableau = fuse_step(s1, s2, alignment,
+                                       preserve=keep_graphs)
             buf = io.StringIO()
             write_gfa(graph, tableau, buf)
             mine.append((pos, buf.getvalue(),
@@ -249,6 +263,10 @@ def _rank_main(rank: int, n_procs: int, port: int, fasta: str,
             sub.tableau = add_sentinels(sub.graph, 5, 6)
             sub.alignment = alignment
             sub.complete = True
+        if not keep_graphs:
+            for node_id in layer:
+                for c in ex.tree.get_children(node_id):
+                    ex.subproblems[c].graph = None
 
     if rank == 0:
         # ---- side outputs in serial execution order (byte-identical

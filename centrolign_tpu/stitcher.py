@@ -231,9 +231,11 @@ class Stitcher:
     def _launch_remaining(self) -> None:
         """Dispatch every still-accumulated device bucket NOW — called after
         the classification pass so the chip works on all eligible gaps while
-        the host pass (below) aligns the native gaps."""
-        import jax
-        if jax.default_backend() not in ("tpu", "axon"):
+        the host pass (below) aligns the native gaps. Buckets only ever
+        accumulate after _register_pending saw a live backend, so an empty
+        _accum means jax must NOT be touched here (backend init on a dead
+        tunnel blocks forever, device.py:36-47)."""
+        if not self._accum:
             return
         for bucket in list(self._accum):
             self._dispatch_bucket(bucket)

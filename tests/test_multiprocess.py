@@ -85,7 +85,7 @@ def _collect(workdir, tag):
 
 
 @pytest.mark.slow
-def test_multiprocess_cyclize_checkpoint_subaln(tmp_path):
+def test_multiprocess_cyclize_checkpoint_subaln(tmp_path, monkeypatch):
     """The jax.distributed executor must reproduce the serial run's final
     GFA AND its side-output files byte-for-byte under -c/-S/-s, and resume
     from a partial -S state (-R) to the identical final graph."""
@@ -104,7 +104,8 @@ def test_multiprocess_cyclize_checkpoint_subaln(tmp_path):
     params.set("subproblems_prefix", str(tmp_path / "mp_chk"))
     params.set("subalignments_filepath", str(tmp_path / "mp_sub"))
     mp_out = tmp_path / "mp.gfa"
-    os.environ.setdefault("CENTROLIGN_TPU_USE_DEVICE", "0")
+    if "CENTROLIGN_TPU_USE_DEVICE" not in os.environ:
+        monkeypatch.setenv("CENTROLIGN_TPU_USE_DEVICE", "0")
     run_multiprocess_msa(2, str(fa), None, str(mp_out), params=params)
 
     assert mp_out.read_text() == serial_gfa, \
