@@ -833,10 +833,11 @@ def gotoh_dispatch(bucket, jobs):
         per_group_bp = num_diags * GROUP * W * 4
         launch_groups = max(1, min(PACKMULTI_MAX_GROUPS,
                                    PACKMULTI_MAX_BP_BYTES // per_group_bp))
-        # multi-group launches are OFF by default until the on-chip
-        # validation (/tmp-scripted, see STATUS.md round-5 item 6)
-        # completes; CENTROLIGN_TPU_PACKMULTI=1 opts in
-        if os.environ.get("CENTROLIGN_TPU_PACKMULTI", "0") == "0":
+        # multi-group launches default ON — validated on-chip (80 mixed
+        # small jobs, 2 buckets: bit-identical to the lax.scan oracle,
+        # 153 ms vs 376 ms for one-group-per-launch); "0" forces the
+        # round-3 one-group-per-launch behavior
+        if os.environ.get("CENTROLIGN_TPU_PACKMULTI", "1") == "0":
             launch_groups = 1
         per_launch = launch_groups * GROUP
         handles = []
