@@ -142,6 +142,10 @@ class Stitcher:
         sc = os.environ.get("CENTROLIGN_TPU_SHARD_MIN_CELLS")
         if sc is not None:
             self.shard_min_cells = int(sc)
+        if os.environ.get("CENTROLIGN_TPU_PACKMULTI", "1") == "0":
+            # one-group-per-launch regime: fire buckets every 8 jobs as in
+            # round 3 (accumulating further would only delay the chip)
+            self.dispatch_batch = 8
         self._begin_dispatch()
 
     def _device_ok(self) -> bool:
@@ -162,8 +166,12 @@ class Stitcher:
     # Dispatch policy for overlapped device batches: a bucket's accumulated
     # jobs launch as soon as it holds this many (or one job this large in
     # DP cells), so the chip fills big gaps while the host keeps aligning
-    # small gaps natively. Leftovers launch at flush.
-    dispatch_batch: int = 8
+    # small gaps natively. Leftovers launch at flush. With multi-group
+    # packed launches (CENTROLIGN_TPU_PACKMULTI, default on) a single
+    # launch carries up to 512 jobs, so buckets accumulate to a full
+    # multi-launch during the classification pass instead of firing every
+    # 8 jobs; big jobs still launch immediately either way.
+    dispatch_batch: int = 512
     dispatch_big_cells: int = 2_000_000
 
     def stitch(self, anchor_segments, graph1, graph2, tableau1, tableau2,
