@@ -4,6 +4,11 @@ match finding -> sparse affine chaining (native, one call per subproblem)
 -> partition -> stitch (TPU Gotoh kernels when the chip link is healthy,
 native C++ otherwise) -> CIGAR.
 
+Each timed rep runs in a SUBPROCESS with a hard timeout: the shared chip
+tunnel can die mid-run, and a jax call on a dead link blocks forever — a
+hung rep is killed and the remaining reps fall back to the native path,
+so the bench always produces a number (tagged with the path that ran).
+
 Prints ONE JSON line with:
   value / vs_baseline : wall-clock seconds and speedup over the reference
                         C++ centrolign measured on the same input
@@ -14,11 +19,40 @@ Prints ONE JSON line with:
   aligners            : per-aligner counters (tag -> count/cells/seconds)
 """
 
-import io
 import json
 import os
+import re
+import subprocess
 import sys
 import time
+
+REP_TIMEOUT_S = 900
+
+
+def _one_rep():
+    """Child mode: run the pipeline once, print a JSON result line."""
+    import io
+
+    from centrolign_tpu.cli import main as cli_main
+    from centrolign_tpu import metrics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    metrics.reset()
+    buf = io.StringIO()
+    stdout = sys.stdout
+    sys.stdout = buf
+    try:
+        t0 = time.perf_counter()
+        rc = cli_main(["-v", "0",
+                       os.path.join(here, "benchdata", "pair.fasta")])
+        rep_s = time.perf_counter() - t0
+    finally:
+        sys.stdout = stdout
+    cigar = buf.getvalue().strip()
+    matched = sum(int(n) for n, _ in re.findall(r"(\d+)([=])", cigar))
+    print(json.dumps({"rc": rc, "elapsed": rep_s, "matched": matched,
+                      "cigar_len": len(cigar),
+                      "metrics": metrics.summary()}))
 
 
 def main():
@@ -26,8 +60,12 @@ def main():
     os.chdir(here)
     sys.path.insert(0, here)
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--rep":
+        _one_rep()
+        return
+
     # persistent kernel-compile cache: amortizes XLA compiles across the
-    # two reps, worker processes, and repeated driver runs
+    # reps (separate processes), workers, and repeated driver runs
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
     # kick the link probe off FIRST: cold link/runtime init has been
@@ -40,9 +78,6 @@ def main():
     with open(os.path.join(here, "benchdata", "baseline.json")) as f:
         baseline = json.load(f)
     ref_s = float(baseline["reference_wall_s"])
-
-    from centrolign_tpu.cli import main as cli_main
-    from centrolign_tpu import metrics
 
     # warm the native build outside the timed region
     import centrolign_tpu.native  # noqa: F401
@@ -71,40 +106,44 @@ def main():
     # the link to the chip is a shared tunnel and the host CPU is shared:
     # wall varies ~15% between runs. Rep 0 doubles as the kernel-compile
     # warmup (the persistent compile cache absorbs most of it); report the
-    # min of three runs to damp the rest.
+    # min of three runs to damp the rest. A rep that hangs or dies (tunnel
+    # death mid-run) is discarded and the remaining reps run natively.
     elapsed = float("inf")
-    best_metrics = {}
+    best = None
     for _rep in range(3):
-        metrics.reset()
-        buf = io.StringIO()
-        stdout = sys.stdout
-        sys.stdout = buf
         try:
-            t0 = time.perf_counter()
-            rc = cli_main(["-v", "0",
-                           os.path.join(here, "benchdata", "pair.fasta")])
-            rep_s = time.perf_counter() - t0
-        finally:
-            sys.stdout = stdout
-        assert rc == 0, f"pipeline failed rc={rc}"
-        if rep_s < elapsed:
-            elapsed = rep_s
-            best_metrics = metrics.summary()
-    cigar = buf.getvalue().strip()
-    assert len(cigar) > 100, "implausibly short CIGAR"
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--rep"],
+                capture_output=True, text=True, timeout=REP_TIMEOUT_S,
+                env=dict(os.environ))
+            rep = json.loads(out.stdout.strip().splitlines()[-1])
+            assert rep["rc"] == 0, f"pipeline failed rc={rep['rc']}"
+        except (subprocess.TimeoutExpired, json.JSONDecodeError,
+                IndexError) as e:
+            if os.environ.get("CENTROLIGN_TPU_USE_DEVICE") != "0":
+                note = (f"DEVICE ABORT mid-bench ({type(e).__name__}); "
+                        "remaining reps are CPU-only")
+                print(f"# {note}", file=sys.stderr)
+                healthy = False
+                os.environ["CENTROLIGN_TPU_USE_DEVICE"] = "0"
+                continue
+            raise
+        if rep["elapsed"] < elapsed:
+            elapsed = rep["elapsed"]
+            best = rep
+    assert best is not None, "no rep completed"
+    assert best["cigar_len"] > 100, "implausibly short CIGAR"
 
     with open(os.path.join(here, "benchdata", "ref_pair.cigar.txt")) as f:
         ref_cigar = f.read().strip()
     # byte parity is tracked in tests/; sanity-gate the bench on a
     # same-ballpark alignment (match count within 1%)
-    import re
-
-    def matched(c):
-        return sum(int(n) for n, op in re.findall(r"(\d+)([=])", c))
-    m_ours, m_ref = matched(cigar), matched(ref_cigar)
+    m_ref = sum(int(n) for n, _ in re.findall(r"(\d+)([=])", ref_cigar))
+    m_ours = best["matched"]
     assert abs(m_ours - m_ref) <= 0.01 * m_ref, (
         f"alignment quality regression: {m_ours} vs {m_ref} matched bases")
 
+    best_metrics = best["metrics"]
     vs = ref_s / elapsed
     if vs < 1.0:
         print(f"# WARNING: below reference baseline ({elapsed:.2f}s vs "
@@ -115,7 +154,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(vs, 3),
         "path": "device" if healthy else "native",
-        "device": device_kind(),
+        "device": device_kind() if healthy else "none",
         "dp_cells_per_sec": best_metrics.get("dp_cells_per_sec", 0),
         "device_cells": best_metrics.get("device_cells", 0),
         "device_contribution_s": best_metrics.get("device_contribution_s", 0),
