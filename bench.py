@@ -29,30 +29,34 @@ import time
 REP_TIMEOUT_S = 900
 
 
-def _one_rep():
-    """Child mode: run the pipeline once, print a JSON result line."""
+def _run_reps(n):
+    """Child mode: run the pipeline `n` times IN ONE PROCESS (so rep 0
+    warms the kernel compiles for the rest) and stream one JSON line per
+    completed rep — the parent parses whatever completed even if a later
+    rep hangs and the process is killed."""
     import io
 
     from centrolign_tpu.cli import main as cli_main
     from centrolign_tpu import metrics
 
     here = os.path.dirname(os.path.abspath(__file__))
-    metrics.reset()
-    buf = io.StringIO()
-    stdout = sys.stdout
-    sys.stdout = buf
-    try:
-        t0 = time.perf_counter()
-        rc = cli_main(["-v", "0",
-                       os.path.join(here, "benchdata", "pair.fasta")])
-        rep_s = time.perf_counter() - t0
-    finally:
-        sys.stdout = stdout
-    cigar = buf.getvalue().strip()
-    matched = sum(int(n) for n, _ in re.findall(r"(\d+)([=])", cigar))
-    print(json.dumps({"rc": rc, "elapsed": rep_s, "matched": matched,
-                      "cigar_len": len(cigar),
-                      "metrics": metrics.summary()}))
+    for _rep in range(n):
+        metrics.reset()
+        buf = io.StringIO()
+        stdout = sys.stdout
+        sys.stdout = buf
+        try:
+            t0 = time.perf_counter()
+            rc = cli_main(["-v", "0",
+                           os.path.join(here, "benchdata", "pair.fasta")])
+            rep_s = time.perf_counter() - t0
+        finally:
+            sys.stdout = stdout
+        cigar = buf.getvalue().strip()
+        matched = sum(int(x) for x, _ in re.findall(r"(\d+)([=])", cigar))
+        print(json.dumps({"rc": rc, "elapsed": rep_s, "matched": matched,
+                          "cigar_len": len(cigar),
+                          "metrics": metrics.summary()}), flush=True)
 
 
 def main():
@@ -60,8 +64,8 @@ def main():
     os.chdir(here)
     sys.path.insert(0, here)
 
-    if len(sys.argv) > 1 and sys.argv[1] == "--rep":
-        _one_rep()
+    if len(sys.argv) > 1 and sys.argv[1] == "--reps":
+        _run_reps(int(sys.argv[2]))
         return
 
     # persistent kernel-compile cache: amortizes XLA compiles across the
@@ -104,34 +108,48 @@ def main():
         os.environ["CENTROLIGN_TPU_HOSTS"] = "2"
 
     # the link to the chip is a shared tunnel and the host CPU is shared:
-    # wall varies ~15% between runs. Rep 0 doubles as the kernel-compile
-    # warmup (the persistent compile cache absorbs most of it); report the
-    # min of three runs to damp the rest. A rep that hangs or dies (tunnel
-    # death mid-run) is discarded and the remaining reps run natively.
-    elapsed = float("inf")
-    best = None
-    for _rep in range(3):
+    # wall varies ~15% between runs. One child process runs three reps
+    # (rep 0 doubles as the in-process kernel-compile warmup); report the
+    # min to damp the rest. The child streams a JSON line per completed
+    # rep, so if the tunnel dies mid-run the parent kills the child on
+    # timeout, keeps any completed device reps, and — if none completed —
+    # reruns the three reps natively instead of hanging the bench.
+    def reps_child(n):
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--rep"],
-                capture_output=True, text=True, timeout=REP_TIMEOUT_S,
-                env=dict(os.environ))
-            rep = json.loads(out.stdout.strip().splitlines()[-1])
-            assert rep["rc"] == 0, f"pipeline failed rc={rep['rc']}"
-        except (subprocess.TimeoutExpired, json.JSONDecodeError,
-                IndexError) as e:
-            if os.environ.get("CENTROLIGN_TPU_USE_DEVICE") != "0":
-                note = (f"DEVICE ABORT mid-bench ({type(e).__name__}); "
-                        "remaining reps are CPU-only")
-                print(f"# {note}", file=sys.stderr)
-                healthy = False
-                os.environ["CENTROLIGN_TPU_USE_DEVICE"] = "0"
+                [sys.executable, os.path.abspath(__file__), "--reps",
+                 str(n)],
+                capture_output=True, text=True,
+                timeout=n * REP_TIMEOUT_S, env=dict(os.environ))
+            raw = out.stdout
+        except subprocess.TimeoutExpired as e:
+            raw = e.stdout or ""
+            if isinstance(raw, bytes):
+                raw = raw.decode(errors="replace")
+        reps = []
+        for line in raw.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
                 continue
-            raise
-        if rep["elapsed"] < elapsed:
-            elapsed = rep["elapsed"]
-            best = rep
-    assert best is not None, "no rep completed"
+            try:
+                rep = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rep.get("rc") == 0:
+                reps.append(rep)
+        return reps
+
+    reps = reps_child(3)
+    if not reps and os.environ.get("CENTROLIGN_TPU_USE_DEVICE") != "0":
+        note = ("DEVICE ABORT mid-bench; no device rep completed — "
+                "rerunning natively")
+        print(f"# {note}", file=sys.stderr)
+        healthy = False
+        os.environ["CENTROLIGN_TPU_USE_DEVICE"] = "0"
+        reps = reps_child(3)
+    assert reps, "no rep completed"
+    best = min(reps, key=lambda r: r["elapsed"])
+    elapsed = best["elapsed"]
     assert best["cigar_len"] > 100, "implausibly short CIGAR"
 
     with open(os.path.join(here, "benchdata", "ref_pair.cigar.txt")) as f:
