@@ -116,6 +116,26 @@ def device_healthy() -> bool:
         return _healthy
 
 
+def configure_compile_cache() -> None:
+    """Point jax at the persistent kernel-compile cache. The
+    JAX_COMPILATION_CACHE_DIR env var alone is NOT honored by this jax
+    version (verified: writes nothing even with min-compile-time 0); the
+    config key must be set explicitly. Called from every module that
+    imports jax for kernels, before any jit executes; importing jax is
+    deliberately NOT forced here so the pure-native path stays jax-free."""
+    d = os.environ.get("CENTROLIGN_TPU_COMPILE_CACHE",
+                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                      "/tmp/jax_cache"))
+    if not d:
+        return
+    try:
+        import jax
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+    except Exception:
+        pass
+
+
 def device_kind() -> str:
     """'tpu', 'cpu', ... of the first device, or 'none' when unhealthy."""
     if not device_healthy():

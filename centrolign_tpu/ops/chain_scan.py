@@ -41,6 +41,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..device import configure_compile_cache
+
+configure_compile_cache()
 import numpy as np
 
 _NEGF = np.float32(np.finfo(np.float32).min)

@@ -34,6 +34,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..device import configure_compile_cache
+
+configure_compile_cache()
 import numpy as np
 
 from .align_params import AlignmentParams, MININF

@@ -17,6 +17,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..device import configure_compile_cache
+
+configure_compile_cache()
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
