@@ -109,6 +109,22 @@ if both:
     out["gfa_byte_identical"] = ours == ref
     out["speedup_wall"] = round(out["ref"]["wall_s"] / out["ours"]["wall_s"], 3)
     out["speedup_user"] = round(out["ref"]["user_s"] / out["ours"]["user_s"], 3)
+# per-subproblem byte parity: the two tools share the checkpoint digest
+# scheme, so every subproblem BOTH completed is directly comparable even
+# when a leg has not finished (e.g. the reference ran out of wall/RAM)
+shared = ident = 0
+ours_dir, ref_dir = f"{rundir}/ckpt_ours", f"{rundir}/ckpt_ref"
+if os.path.isdir(ours_dir) and os.path.isdir(ref_dir):
+    ref_names = set(os.listdir(ref_dir))
+    for name in sorted(os.listdir(ours_dir)):
+        if not name.endswith(".gfa") or name not in ref_names:
+            continue
+        shared += 1
+        a = open(os.path.join(ours_dir, name), "rb").read()
+        b = open(os.path.join(ref_dir, name), "rb").read()
+        ident += int(a == b)
+    out["shared_subproblems"] = shared
+    out["shared_subproblems_byte_identical"] = ident
 with open("benchdata/results_r05.json", "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out, indent=1))
