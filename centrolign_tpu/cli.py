@@ -30,6 +30,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-a", "--max-anchors", type=int, default=None)
     ap.add_argument("-p", "--count-power", type=float, default=None)
     ap.add_argument("-g", "--chain-alg", type=int, default=None)
+    ap.add_argument("-u", "--no-unaln", action="store_true")
     ap.add_argument("-v", "--verbosity", type=int, default=None)
     ap.add_argument("-C", "--config", default="")
     ap.add_argument("-G", "--generate-config", action="store_true")
@@ -70,6 +71,10 @@ def main(argv=None) -> int:
         params.set("pair_count_power", args.count_power)
     if args.chain_alg is not None:
         params.set("chaining_algorithm", args.chain_alg)
+    if args.no_unaln:
+        # reference -u/--no-unaln (main.cpp:131-133): disable the
+        # alignability partition, treat everything as alignable
+        params.set("constraint_method", 0)
     if args.verbosity is not None:
         params.set("logging_level", args.verbosity)
     if args.restart:
