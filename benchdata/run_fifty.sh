@@ -125,6 +125,19 @@ if os.path.isdir(ours_dir) and os.path.isdir(ref_dir):
         ident += int(a == b)
     out["shared_subproblems"] = shared
     out["shared_subproblems_byte_identical"] = ident
+    # per-subproblem wall estimates from checkpoint mtime deltas
+    # (caveats: host sharing inflates both legs; deltas spanning a
+    # resume gap (> 2 h) are dropped as attempt boundaries)
+    per = {}
+    for tag, d in (("ours", ours_dir), ("ref", ref_dir)):
+        files = sorted(((os.path.getmtime(os.path.join(d, n)), n)
+                        for n in os.listdir(d) if n.endswith(".gfa")))
+        for (t0, _), (t1, name) in zip(files, files[1:]):
+            dt = t1 - t0
+            if dt < 7200:
+                per.setdefault(name, {})[tag] = round(dt, 1)
+    out["per_subproblem_wall_s"] = {
+        k: v for k, v in sorted(per.items()) if len(v) == 2}
 with open("benchdata/results_r05.json", "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out, indent=1))
