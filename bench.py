@@ -115,17 +115,25 @@ def main():
     # timeout, keeps any completed device reps, and — if none completed —
     # reruns the three reps natively instead of hanging the bench.
     def reps_child(n):
+        err = ""
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--reps",
                  str(n)],
                 capture_output=True, text=True,
                 timeout=n * REP_TIMEOUT_S, env=dict(os.environ))
-            raw = out.stdout
+            raw, err = out.stdout, out.stderr or ""
+            # child finished but crashed after completing some reps: a
+            # pipeline bug, not a link problem — do not bench the survivors
+            assert out.returncode == 0 or not raw.strip(), (
+                f"bench child crashed rc={out.returncode}\n{err[-2000:]}")
         except subprocess.TimeoutExpired as e:
             raw = e.stdout or ""
+            err = e.stderr or ""
             if isinstance(raw, bytes):
                 raw = raw.decode(errors="replace")
+            if isinstance(err, bytes):
+                err = err.decode(errors="replace")
         reps = []
         for line in raw.splitlines():
             line = line.strip()
@@ -135,19 +143,25 @@ def main():
                 rep = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if rep.get("rc") == 0:
-                reps.append(rep)
-        return reps
+            # a nonzero rc is a PIPELINE failure, never a link problem —
+            # fail loudly instead of quietly benching the surviving reps
+            assert rep.get("rc") == 0, (
+                f"pipeline failed rc={rep.get('rc')}\n{err[-2000:]}")
+            reps.append(rep)
+        return reps, err
 
-    reps = reps_child(3)
+    reps, err = reps_child(3)
     if not reps and os.environ.get("CENTROLIGN_TPU_USE_DEVICE") != "0":
+        # no rep even reported: the child hung or died mid-run — the
+        # dead-tunnel signature (a pipeline bug raises rc!=0 above)
         note = ("DEVICE ABORT mid-bench; no device rep completed — "
                 "rerunning natively")
-        print(f"# {note}", file=sys.stderr)
+        print(f"# {note}\n# child stderr tail:\n{err[-2000:]}",
+              file=sys.stderr)
         healthy = False
         os.environ["CENTROLIGN_TPU_USE_DEVICE"] = "0"
-        reps = reps_child(3)
-    assert reps, "no rep completed"
+        reps, err = reps_child(3)
+    assert reps, f"no rep completed; child stderr tail:\n{err[-2000:]}"
     best = min(reps, key=lambda r: r["elapsed"])
     elapsed = best["elapsed"]
     assert best["cigar_len"] > 100, "implausibly short CIGAR"

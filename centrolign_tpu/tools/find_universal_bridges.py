@@ -32,13 +32,12 @@ def _compact(graph):
     nptr, nind = graph.next_csr()
     pptr, pind = graph.prev_csr()
 
-    def only_prev(v):
-        return int(pind[pptr[v]])
-
-    is_start = np.zeros(V, dtype=bool)
-    for v in range(V):
-        if indeg[v] != 1 or outdeg[only_prev(v)] != 1:
-            is_start[v] = True
+    is_start = indeg != 1
+    m = ~is_start
+    if m.any():
+        # unique predecessor of each single-in-degree node
+        preds = pind[pptr[:-1][m]]
+        is_start[np.flatnonzero(m)[outdeg[preds] != 1]] = True
     starts = np.flatnonzero(is_start)
     comp_of = np.full(V, -1, dtype=_I64)
     fronts, backs = [], []

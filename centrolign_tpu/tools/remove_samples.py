@@ -62,11 +62,10 @@ def main(argv=None) -> int:
 
     pruned = BaseGraph()
     pruned.add_nodes(np.asarray(graph.labels))
-    for v in range(graph.node_size):
-        nxt = graph.next(v)
-        if len(nxt):
-            pruned.add_edges(np.full(len(nxt), v, dtype=np.int64),
-                             np.asarray(nxt, dtype=np.int64))
+    ef, et = graph.edges()
+    if len(ef):
+        pruned.add_edges(np.asarray(ef, dtype=np.int64),
+                         np.asarray(et, dtype=np.int64))
 
     retained = []
     removed_seen = []

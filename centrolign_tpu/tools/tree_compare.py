@@ -48,27 +48,33 @@ def partition_table(tree):
     first = labels[0]
     label_all = set(labels)
 
+    # NB: the reference assigns label_sets ONLY at leaves and at nodes
+    # with total degree > 2 (tree_compare.cpp:96-119) — an internal node
+    # of degree <= 2 (unary chains, a binary root) keeps an EMPTY set, so
+    # its leaves are silently absent from every ancestor's set. Parity
+    # requires replicating that, not "fixing" it.
     rows = []
-    label_sets = [None] * n
+    label_sets = [[] for _ in range(n)]
     for node_id in tree.postorder():
         if tree.is_leaf(node_id):
             label_sets[node_id] = [tree.label(node_id)]
             continue
         children = tree.get_children(node_id)
+        degree = len(children) + (0 if node_id == tree.get_root() else 1)
+        if degree <= 2:
+            continue
         merged = []
         for c in children:
             merged.extend(label_sets[c])
-            label_sets[c] = None
+            label_sets[c] = []
         merged.sort()
         label_sets[node_id] = merged
-        degree = len(children) + (0 if node_id == tree.get_root() else 1)
-        if degree > 2:
-            if merged[0] == first:
-                rows.append((height[node_id], list(merged)))
-            else:
-                inside = set(merged)
-                rows.append((height[node_id],
-                             [x for x in labels if x not in inside]))
+        if merged and merged[0] == first:
+            rows.append((height[node_id], list(merged)))
+        else:
+            inside = set(merged)
+            rows.append((height[node_id],
+                         [x for x in labels if x not in inside]))
     assert label_all  # non-empty tree
     rows.sort(key=lambda r: (r[1], r[0]))
     dedup = []

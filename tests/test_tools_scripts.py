@@ -92,6 +92,18 @@ def test_tree_compare(ref_bins, tmp_path):
         ref = _ref(ref_bins, "tree_compare", pair, tmp_path)
         assert ours.returncode == ref.returncode == 0
         assert ours.stdout == ref.stdout
+    # unary internal nodes: the reference only materializes label sets at
+    # degree>2 nodes, silently losing unary subtrees from ancestors'
+    # bipartitions — parity means replicating that
+    unary = tmp_path / "unary.nwk"
+    unary.write_text('("A":1,("B":1)u:1,"C":1,"D":1);\n')
+    flat = tmp_path / "flat.nwk"
+    flat.write_text('("A":1,"B":1,"C":1,"D":1);\n')
+    ours = _ours("tree_compare", [str(unary), str(flat)], tmp_path)
+    ref = _ref(ref_bins, "tree_compare", [str(unary), str(flat)],
+               tmp_path)
+    assert ours.returncode == ref.returncode == 0
+    assert ours.stdout == ref.stdout
 
 
 def test_remove_samples(ref_bins, msa_gfa, tmp_path):
